@@ -1,0 +1,139 @@
+"""Legendre-polynomial function parameterizations.
+
+Capability parity with ``/root/reference/pde_opt/numerics/functions/legendre.py``:
+``LegendrePolynomialExpansion`` (:12-34, three-term recurrence),
+``DiffusionLegendrePolynomials`` (:37-53, exp for positivity),
+``ChemicalPotentialLegendrePolynomials`` (:56-74, optional physical prior),
+plus the hardcoded-degree ``LegendrePolynomials`` helper (:77-218, rebuilt as
+a recurrence instead of 140 lines of explicit polynomials) and the
+``LegendrePolynomialExpansion2D`` the reference exports in ``__all__`` but
+never defines (``__init__.py:65`` — latent bug, fixed here as a tensor-product
+expansion).
+
+All modules are pytrees (params are leaves) and elementwise, hence
+batch-transparent and VPU-friendly: the recurrence is a chain of fused
+multiply-adds over whatever shape comes in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.modules import module
+
+__all__ = [
+    "legval",
+    "LegendrePolynomialExpansion",
+    "LegendrePolynomialExpansion2D",
+    "DiffusionLegendrePolynomials",
+    "ChemicalPotentialLegendrePolynomials",
+    "LegendrePolynomials",
+]
+
+
+def legval(params, x, max_degree: int):
+    """Σ_n params[n]·P_n(x) via the Bonnet three-term recurrence."""
+    result = params[0] * jnp.ones_like(x)
+    if max_degree >= 1:
+        result = result + params[1] * x
+    p_prev = jnp.ones_like(x)
+    p_curr = x
+    for n in range(2, max_degree + 1):
+        p_next = ((2 * n - 1) * x * p_curr - (n - 1) * p_prev) / n
+        result = result + params[n] * p_next
+        p_prev, p_curr = p_curr, p_next
+    return result
+
+
+@module(data_fields=("params",), static_fields=("max_degree",))
+class LegendrePolynomialExpansion:
+    """Σ params[n]·P_n(x); inputs assumed in [-1, 1]."""
+
+    def __init__(self, params):
+        self.params = params
+        self.max_degree = len(params) - 1
+
+    def __call__(self, inputs):
+        return legval(self.params, inputs, self.max_degree)
+
+
+@module(data_fields=("params",), static_fields=("max_degree_x", "max_degree_y"))
+class LegendrePolynomialExpansion2D:
+    """Tensor-product 2D expansion: Σ_{mn} params[m,n]·P_m(x)·P_n(y).
+
+    Fills the hole behind the reference's phantom ``__all__`` export
+    (``/root/reference/pde_opt/__init__.py:65``).
+    """
+
+    def __init__(self, params):
+        params = jnp.asarray(params)
+        self.params = params
+        self.max_degree_x = params.shape[0] - 1
+        self.max_degree_y = params.shape[1] - 1
+
+    def __call__(self, x, y):
+        def basis(v, deg):
+            ps = [jnp.ones_like(v)]
+            if deg >= 1:
+                ps.append(v)
+            for n in range(2, deg + 1):
+                ps.append(((2 * n - 1) * v * ps[-1] - (n - 1) * ps[-2]) / n)
+            return jnp.stack(ps, axis=0)  # (deg+1, ...)
+
+        Px = basis(x, self.max_degree_x)
+        Py = basis(y, self.max_degree_y)
+        return jnp.einsum("mn,m...,n...->...", self.params, Px, Py)
+
+
+@module(data_fields=("expansion",), static_fields=())
+class DiffusionLegendrePolynomials:
+    """Positive mobility/diffusivity: exp(Legendre(2u−1)) for u ∈ [0,1]."""
+
+    def __init__(self, params):
+        self.expansion = LegendrePolynomialExpansion(params)
+
+    def __call__(self, inputs):
+        scaled = 2.0 * inputs - 1.0
+        return jnp.exp(self.expansion(scaled))
+
+
+@module(data_fields=("expansion",), static_fields=("prior_fn",))
+class ChemicalPotentialLegendrePolynomials:
+    """Chemical potential: Legendre(2u−1) plus an optional fixed prior.
+
+    The prior (e.g. the ideal-solution ``log(u/(1−u))``) carries the known
+    physics so the learnable expansion only models the correction.
+    """
+
+    def __init__(self, params, prior_fn: Optional[Callable] = None):
+        self.expansion = LegendrePolynomialExpansion(params)
+        self.prior_fn = prior_fn
+
+    def __call__(self, inputs):
+        scaled = 2.0 * inputs - 1.0
+        result = self.expansion(scaled)
+        if self.prior_fn is not None:
+            result = result + self.prior_fn(inputs)
+        return result
+
+
+@dataclasses.dataclass
+class LegendrePolynomials:
+    """``f(params, x)`` evaluator for degree ≤ max_degree (reference :77-218).
+
+    The reference unrolls explicit polynomial formulas per degree up to 10;
+    the recurrence is numerically equivalent and degree-unlimited.
+    """
+
+    max_degree: int
+
+    def __post_init__(self):
+        deg = self.max_degree
+        self.func = jax.jit(lambda p, x: legval(p, x, deg))
+
+    def __call__(self, params, inputs):
+        return self.func(params, inputs)

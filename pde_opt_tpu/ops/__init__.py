@@ -1,0 +1,28 @@
+"""Numerical kernels: stencils, spectral ops, steppers, integration drivers."""
+
+from . import stencils, spectral
+from .steppers import (
+    Euler,
+    Heun,
+    RK4,
+    Tsit5,
+    SemiImplicitFourierSpectral,
+    StrangSplitting,
+    ImplicitEuler,
+)
+from .integrate import evolve, integrate, integrate_adaptive
+
+__all__ = [
+    "stencils",
+    "spectral",
+    "Euler",
+    "Heun",
+    "RK4",
+    "Tsit5",
+    "SemiImplicitFourierSpectral",
+    "StrangSplitting",
+    "ImplicitEuler",
+    "evolve",
+    "integrate",
+    "integrate_adaptive",
+]

@@ -1,0 +1,12 @@
+"""Optimizers: Levenberg-Marquardt (small params) and L-BFGS/Adam (NN params)."""
+
+from .lm import least_squares_lm, LMResult
+from .minimize import minimize_lbfgs, minimize_adam, MinimizeResult
+
+__all__ = [
+    "least_squares_lm",
+    "LMResult",
+    "minimize_lbfgs",
+    "minimize_adam",
+    "MinimizeResult",
+]

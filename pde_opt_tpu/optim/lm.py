@@ -1,0 +1,112 @@
+"""Levenberg-Marquardt for small parameter vectors.
+
+TPU-native replacement for ``optimistix.least_squares(LevenbergMarquardt)``
+(reference ``pde_model.py:410-423``), used for fitting few-coefficient
+parameterizations (Legendre expansions, scalar physics constants) by
+differentiating *through the rollout*.
+
+Design: the Jacobian of the flattened residual vector w.r.t. the flattened
+parameter vector is built with ``jax.jacfwd`` — forward-mode through the
+``lax.scan`` rollout, the analog of the reference's diffrax ``ForwardMode``
+adjoint (``pde_model.py:74``).  With p parameters this costs p JVP rollouts,
+batched by XLA.  The normal equations (JᵀJ + λ·diag(JᵀJ))δ = Jᵀr are solved
+densely (p is small).  λ follows the classic accept/reject trust-region
+schedule.  The accept/reject inner step is one jitted function; the outer
+loop is a host loop (it carries only scalars and enables verbose logging).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["least_squares_lm", "LMResult"]
+
+
+class LMResult(NamedTuple):
+    params: jax.Array  # flat optimized parameters
+    loss: jax.Array
+    steps: int
+    converged: bool
+
+
+def least_squares_lm(
+    residual_fn: Callable,
+    theta0,
+    max_steps: int = 100,
+    rtol: float = 1e-8,
+    atol: float = 1e-8,
+    lambda0: float = 1e-3,
+    lambda_up: float = 3.0,
+    lambda_down: float = 3.0,
+    verbose: bool = False,
+):
+    """Minimize ``0.5 * ||residual_fn(theta)||²`` over a flat vector ``theta0``.
+
+    ``residual_fn`` may return any pytree; leaves are flattened into one
+    residual vector (matching optimistix semantics, where the reference's
+    ``(batch_residuals, reg)`` tuple contributes the scalar reg as one more
+    residual element).
+    """
+    theta0 = jnp.asarray(theta0)
+
+    def flat_residual(theta):
+        res = residual_fn(theta)
+        leaves = jax.tree_util.tree_leaves(res)
+        return jnp.concatenate([jnp.ravel(l) for l in leaves])
+
+    @jax.jit
+    def compute_jac(theta):
+        r = flat_residual(theta)
+        J = jax.jacfwd(flat_residual)(theta)
+        return r, J
+
+    @jax.jit
+    def solve_step(theta, r, J, lam):
+        JtJ = J.T @ J
+        diag = jnp.diag(jnp.diag(JtJ))
+        # Floor the damping diagonal so zero-gradient directions stay solvable.
+        diag = jnp.where(jnp.abs(diag) < 1e-12, 1e-12, diag)
+        g = J.T @ r
+        delta = jnp.linalg.solve(JtJ + lam * diag, g)
+        return theta - delta
+
+    @jax.jit
+    def loss_of(theta):
+        r = flat_residual(theta)
+        return 0.5 * jnp.sum(r**2)
+
+    theta = theta0
+    lam = lambda0
+    loss = float(loss_of(theta))
+    converged = False
+    step = 0
+    for step in range(1, max_steps + 1):
+        r, J = compute_jac(theta)
+        accepted = False
+        # Try up to 8 damping increases before giving up on this iteration.
+        for _ in range(8):
+            theta_new = solve_step(theta, r, J, lam)
+            loss_new = float(loss_of(theta_new))
+            if jnp.isfinite(loss_new) and loss_new < loss:
+                accepted = True
+                break
+            lam *= lambda_up
+        if verbose:
+            print(
+                f"[LM] step={step} loss={loss:.6e} -> {loss_new:.6e} "
+                f"lambda={lam:.2e} accepted={accepted}"
+            )
+        if not accepted:
+            converged = True  # cannot improve further at max damping
+            break
+        improvement = loss - loss_new
+        theta, loss = theta_new, loss_new
+        lam = max(lam / lambda_down, 1e-12)
+        if improvement < rtol * abs(loss) + atol:
+            converged = True
+            break
+    return LMResult(params=theta, loss=jnp.asarray(loss), steps=step, converged=converged)

@@ -1,0 +1,6 @@
+"""Multi-device scale-out: meshes, sharded env fleets, halo exchange."""
+
+from .mesh import make_mesh, env_sharding
+from .sharded_env import ShardedVectorPDEEnv
+
+__all__ = ["make_mesh", "env_sharding", "ShardedVectorPDEEnv"]

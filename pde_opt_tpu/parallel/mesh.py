@@ -1,0 +1,44 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference has no multi-device support whatsoever (grep census in
+SURVEY.md §2.3).  Here the scaling axis for PDE control workloads is the
+**env batch**: thousands of lockstep env instances shard over a 1D ``"env"``
+mesh axis (pure data parallelism over ICI/DCN); the learner is co-located
+and reduces gradients with ``psum``.  Spatial decomposition of a single huge
+grid — the PDE analog of sequence parallelism — lives in
+:mod:`pde_opt_tpu.parallel.halo`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "env_sharding", "replicated_sharding"]
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Sequence[str] = ("env",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a named device mesh (default: all devices on one ``"env"`` axis)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(devices.reshape(shape), axis_names=tuple(axis_names))
+
+
+def env_sharding(mesh: Mesh, axis: str = "env") -> NamedSharding:
+    """Sharding that splits the leading (env-batch) axis across ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated sharding (policy/learner parameters)."""
+    return NamedSharding(mesh, P())

@@ -1,0 +1,113 @@
+"""Env fleets sharded over a device mesh.
+
+Wraps :class:`pde_opt_tpu.envs.vector_env.VectorPDEEnv`'s pure reset/step in
+``shard_map`` over a named mesh: each device owns ``num_envs/num_devices``
+env instances, state never leaves its shard, and the only collectives are
+whatever the caller's learner inserts (``psum`` of gradients/metrics).  This
+is the multi-chip layer the reference lacks entirely (SURVEY.md §2.3) —
+pure data parallelism over ICI, the TPU-native shape of this workload.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..envs.vector_env import EnvState, VectorPDEEnv
+
+__all__ = ["ShardedVectorPDEEnv"]
+
+
+class ShardedVectorPDEEnv:
+    """Shards a :class:`VectorPDEEnv` batch across a mesh axis.
+
+    Args:
+        env: the batched env; ``env.num_envs`` must divide evenly over the
+            mesh axis.
+        mesh: a named device mesh (see :func:`pde_opt_tpu.parallel.make_mesh`).
+        axis: mesh axis name to shard the env batch over.
+    """
+
+    def __init__(self, env: VectorPDEEnv, mesh: Mesh, axis: str = "env"):
+        n_dev = mesh.shape[axis]
+        if env.num_envs % n_dev != 0:
+            raise ValueError(
+                f"num_envs={env.num_envs} not divisible by mesh axis "
+                f"'{axis}' size {n_dev}"
+            )
+        self.env = env
+        self.mesh = mesh
+        self.axis = axis
+        self.envs_per_device = env.num_envs // n_dev
+
+        spec = P(axis)
+        rep = P()
+
+        # Per-shard reset: each device resets its own slice of envs from its
+        # own key (keys pre-split and sharded).
+        def _reset_shard(keys):  # keys: (envs_per_device,)
+            y0, cv, carry = jax.vmap(env._reset_single)(keys)
+            B = keys.shape[0]
+            state = EnvState(
+                y=y0,
+                t=jnp.zeros((B,), jnp.float32),
+                control_value=cv,
+                key=carry,
+                step_count=jnp.zeros((B,), jnp.int32),
+                done=jnp.zeros((B,), bool),
+            )
+            return state, env.state_to_observation_func(y0)
+
+        def _step_shard(state, actions):
+            return env._step_impl(state, actions)
+
+        self._reset = jax.jit(
+            shard_map(
+                _reset_shard, mesh=mesh,
+                in_specs=(spec,), out_specs=(spec, spec),
+                check_rep=False,
+            )
+        )
+        self._step = jax.jit(
+            shard_map(
+                _step_shard, mesh=mesh,
+                in_specs=(spec, spec),
+                out_specs=(spec, spec, spec, spec, spec, spec),
+                check_rep=False,
+            ),
+            donate_argnums=(0,),
+        )
+
+    def reset(self, key):
+        keys = jax.random.split(key, self.env.num_envs)
+        keys = jax.device_put(keys, NamedSharding(self.mesh, P(self.axis)))
+        return self._reset(keys)
+
+    def step(self, state, actions):
+        return self._step(state, actions)
+
+    def rollout(self, state, policy_fn: Callable, n_steps: int,
+                key: Optional[jax.Array] = None):
+        """On-device rollout across the mesh (scan of sharded steps)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        env = self.env
+
+        def body(carry, _):
+            st, k = carry
+            k, ak = jax.random.split(k)
+            obs = env.state_to_observation_func(st.y)
+            actions = policy_fn(obs, ak)
+            st, obs, reward, terminated, truncated, _ = self._step(st, actions)
+            return (st, k), (reward, terminated)
+
+        (state, _), (rewards, terms) = jax.lax.scan(
+            body, (state, key), None, length=n_steps
+        )
+        return state, rewards, terms
