@@ -2,5 +2,6 @@
 
 from .vector_env import EnvState, VectorPDEEnv
 from .gym_adapter import PDEEnv, AdvectionDiffusionEnv
+from .presets import make_cahn_hilliard_control_env
 
-__all__ = ["EnvState", "VectorPDEEnv", "PDEEnv", "AdvectionDiffusionEnv"]
+__all__ = ["EnvState", "VectorPDEEnv", "PDEEnv", "AdvectionDiffusionEnv", "make_cahn_hilliard_control_env"]

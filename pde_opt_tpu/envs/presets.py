@@ -1,0 +1,75 @@
+"""Preset environment configurations.
+
+The flagship benchmark config — the driver north star's "64×64 Cahn-Hilliard
+control env, 4096 envs" (BASELINE.json) — lives here so bench.py, the graft
+entry point, and tests all build exactly the same environment.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import grid as gridmod
+from ..models.cahn_hilliard import CahnHilliard2DPeriodic
+from ..ops.steppers import SemiImplicitFourierSpectral
+from .vector_env import VectorPDEEnv
+
+__all__ = ["make_cahn_hilliard_control_env"]
+
+
+def make_cahn_hilliard_control_env(
+    num_envs: int = 4096,
+    grid_size: int = 64,
+    substeps: int = 10,
+    end_time: float = 1.0,
+    step_dt: float = 0.01,
+    dtype=jnp.float32,
+    auto_reset: bool = True,
+) -> VectorPDEEnv:
+    """64×64 Cahn-Hilliard control fleet: the agent drives κ (interface width).
+
+    One RL step = ``substeps`` fused semi-implicit spectral substeps.  The
+    observation is the uint8-scaled concentration field; reward is negative
+    variance (drive toward uniformity — fighting the spinodal decomposition
+    the PDE wants).
+    """
+    L = 0.01 * grid_size
+    domain = gridmod.Domain(
+        (grid_size, grid_size), ((-L / 2, L / 2), (-L / 2, L / 2)),
+        "dimensionless", dtype=dtype,
+    )
+    return VectorPDEEnv(
+        equation_type=CahnHilliard2DPeriodic,
+        domain=domain,
+        solver_type=SemiImplicitFourierSpectral,
+        end_time=end_time,
+        step_dt=step_dt,
+        numeric_dt=step_dt / substeps,
+        state_to_observation_func=lambda y: jnp.clip(y * 255.0, 0, 255).astype(
+            jnp.uint8
+        )[..., None, :, :],
+        reward_function=lambda y: -jnp.var(y),
+        reset_func=lambda domain, key: jnp.clip(
+            0.5 + 0.01 * jax.random.normal(key, domain.points, dtype=dtype), 0.0, 1.0
+        ),
+        # Control range chosen inside the numerically stable region of the
+        # SIF stepper at numeric_dt = step_dt/substeps: κ below ~2e-3 at
+        # dt=1e-3 on a dx=0.01 grid under-damps the explicit spinodal term
+        # and blows up (verified empirically; see tests/test_env.py).
+        reset_control_value=jnp.asarray(0.004, dtype),
+        update_control_value=lambda off, old: jnp.clip(
+            old + 0.0005 * off[..., 0], 0.002, 0.01
+        ),
+        update_control_parameter=lambda old, new: new,
+        action_space_config={"type": "continuous", "shape": (1,)},
+        static_equation_parameters={
+            "mu": lambda c: c**3 - c,
+            "D": lambda c: jnp.ones_like(c),
+            "derivs": "fd",
+        },
+        control_equation_parameter_name="kappa",
+        solver_parameters={"A": 0.5},
+        num_envs=num_envs,
+        auto_reset=auto_reset,
+    )

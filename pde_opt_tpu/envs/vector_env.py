@@ -201,10 +201,19 @@ class VectorPDEEnv:
         )
         t1 = state.t + self.step_dt
         steps1 = state.step_count + 1
-        terminated = t1 >= self.end_time - 1e-9
+        # Per-env divergence mask: a non-finite field terminates (and, under
+        # auto_reset, resets) that env without stalling the lockstep fleet —
+        # the env-fleet analog of elastic failure recovery.
+        diverged = ~jnp.isfinite(y1).reshape(y1.shape[0], -1).all(axis=1)
+        terminated = (t1 >= self.end_time - 1e-9) | diverged
         reward = jax.vmap(self.reward_function)(y1)
+        reward = jnp.where(diverged, jnp.zeros_like(reward), reward)
+        # Scrub NaNs so downstream obs/learner code never sees them.
+        y1 = jnp.where(
+            diverged.reshape((-1,) + (1,) * (y1.ndim - 1)), jnp.zeros_like(y1), y1
+        )
         obs = self.state_to_observation_func(y1)
-        info = {}
+        info = {"diverged": diverged}
 
         if self.auto_reset:
             new_keys = jax.vmap(lambda k: jax.random.split(k)[0])(state.key)
@@ -219,7 +228,7 @@ class VectorPDEEnv:
             key_next = where_done(carry_keys, state.key)
             t_next = jnp.where(terminated, 0.0, t1)
             steps_next = jnp.where(terminated, 0, steps1)
-            info = {"final_observation": obs}
+            info = {"final_observation": obs, "diverged": diverged}
             obs = self.state_to_observation_func(y_next)
             next_state = EnvState(
                 y=y_next, t=t_next, control_value=cv_next,
@@ -233,6 +242,11 @@ class VectorPDEEnv:
             )
 
         truncated = jnp.zeros_like(terminated)
+        # Pin dtypes to the incoming state so scan carries stay type-stable
+        # regardless of action dtype / x64 promotion.
+        next_state = jax.tree_util.tree_map(
+            lambda new, old: new.astype(old.dtype), next_state, state
+        )
         return next_state, obs, reward, terminated, truncated, info
 
     # ------------------------------------------------------------------
@@ -255,16 +269,13 @@ class VectorPDEEnv:
             minval=self.action_low, maxval=self.action_high,
         )
 
-    def rollout(self, state: EnvState, policy_fn: Callable, n_steps: int,
-                key: Optional[jax.Array] = None):
-        """Run ``n_steps`` on device with zero host round-trips.
+    def make_rollout(self, policy_fn: Callable, n_steps: int):
+        """Compile an ``n_steps`` on-device rollout: zero host round-trips.
 
-        ``policy_fn(obs, key) -> actions``; pass e.g. a jitted learner apply
-        or :meth:`sample_actions`-style random policy.  Returns the final
-        state and per-step ``(reward, terminated)`` stacks.
+        ``policy_fn(obs, key) -> actions``.  Returns a jitted
+        ``rollout(state, key) -> (state, rewards, terminateds)`` with the
+        state buffer donated — steady-state HBM use is one fleet.
         """
-        if key is None:
-            key = jax.random.PRNGKey(0)
 
         def body(carry, _):
             st, k = carry
@@ -274,7 +285,26 @@ class VectorPDEEnv:
             st, obs, reward, terminated, truncated, _ = self._step_impl(st, actions)
             return (st, k), (reward, terminated)
 
-        (state, _), (rewards, terms) = jax.lax.scan(
-            body, (state, key), None, length=n_steps
-        )
-        return state, rewards, terms
+        @partial(jax.jit, donate_argnums=(0,))
+        def run(state, key):
+            (state, _), (rewards, terms) = jax.lax.scan(
+                body, (state, key), None, length=n_steps
+            )
+            return state, rewards, terms
+
+        return run
+
+    def rollout(self, state: EnvState, policy_fn: Callable, n_steps: int,
+                key: Optional[jax.Array] = None):
+        """Run ``n_steps`` on device (cached compile per (policy_fn, n_steps))."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        cache_key = (id(policy_fn), n_steps)
+        cache = getattr(self, "_rollout_cache", None)
+        if cache is None:
+            cache = self._rollout_cache = {}
+        if cache_key not in cache:
+            # Hold a reference to policy_fn so its id stays unique.
+            cache[cache_key] = (self.make_rollout(policy_fn, n_steps), policy_fn)
+        run, _ = cache[cache_key]
+        return run(state, key)

@@ -246,6 +246,7 @@ class PDEModel:
         )
 
         opt_params, opt_static = ptree.partition(opt_parameters)
+        opt_params = ptree.as_arrays(opt_params)
 
         if method == "least_squares":
             flat0, unravel = ptree.ravel_params(opt_parameters)
@@ -325,6 +326,7 @@ class PDEModel:
         """
         ts = np.asarray(ts, dtype=np.float64)
         opt_params, opt_static = ptree.partition(opt_parameters)
+        opt_params = ptree.as_arrays(opt_params)
 
         def objective(_opt_params):
             full = ptree.combine(_opt_params, opt_static)

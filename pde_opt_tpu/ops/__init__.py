@@ -1,6 +1,6 @@
 """Numerical kernels: stencils, spectral ops, steppers, integration drivers."""
 
-from . import stencils, spectral
+from . import stencils, spectral, boundary
 from .steppers import (
     Euler,
     Heun,
@@ -15,6 +15,7 @@ from .integrate import evolve, integrate, integrate_adaptive
 __all__ = [
     "stencils",
     "spectral",
+    "boundary",
     "Euler",
     "Heun",
     "RK4",

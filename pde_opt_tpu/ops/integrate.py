@@ -68,6 +68,8 @@ def evolve(
     def body(y, i):
         t = t0 + i * dt
         y1, _ = stepper.step(rhs, y, t, dt)
+        # Keep the carry dtype-stable (x64 mode can promote through FFTs).
+        y1 = jax.tree_util.tree_map(lambda a, b: a.astype(b.dtype), y1, y)
         return y1, None
 
     yT, _ = jax.lax.scan(body, y0, jnp.arange(n_steps), unroll=unroll)
@@ -78,6 +80,7 @@ def _segment_advance(stepper, rhs, y, t_start, dt_sub, n_sub, unroll):
     def body(yc, i):
         t = t_start + i * dt_sub
         y1, _ = stepper.step(rhs, yc, t, dt_sub)
+        y1 = jax.tree_util.tree_map(lambda a, b: a.astype(b.dtype), y1, yc)
         return y1, None
 
     y_end, _ = jax.lax.scan(body, y, jnp.arange(n_sub), unroll=unroll)

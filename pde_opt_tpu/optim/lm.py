@@ -40,8 +40,9 @@ def least_squares_lm(
     rtol: float = 1e-8,
     atol: float = 1e-8,
     lambda0: float = 1e-3,
-    lambda_up: float = 3.0,
+    lambda_up: float = 4.0,
     lambda_down: float = 3.0,
+    max_damping_tries: int = 15,
     verbose: bool = False,
 ):
     """Minimize ``0.5 * ||residual_fn(theta)||²`` over a flat vector ``theta0``.
@@ -87,8 +88,8 @@ def least_squares_lm(
     for step in range(1, max_steps + 1):
         r, J = compute_jac(theta)
         accepted = False
-        # Try up to 8 damping increases before giving up on this iteration.
-        for _ in range(8):
+        # Escalate damping until the step shrinks into the trust region.
+        for _ in range(max_damping_tries):
             theta_new = solve_step(theta, r, J, lam)
             loss_new = float(loss_of(theta_new))
             if jnp.isfinite(loss_new) and loss_new < loss:

@@ -1,6 +1,7 @@
 """Multi-device scale-out: meshes, sharded env fleets, halo exchange."""
 
-from .mesh import make_mesh, env_sharding
+from .mesh import make_mesh, env_sharding, replicated_sharding, shard_map
+from . import halo
 from .sharded_env import ShardedVectorPDEEnv
 
-__all__ = ["make_mesh", "env_sharding", "ShardedVectorPDEEnv"]
+__all__ = ["make_mesh", "env_sharding", "replicated_sharding", "shard_map", "halo", "ShardedVectorPDEEnv"]

@@ -1,0 +1,101 @@
+"""Spatial-domain decomposition: halo exchange + distributed FFT.
+
+The PDE analog of sequence/context parallelism (SURVEY.md §5): when one
+env's grid exceeds a chip, shard the *rows* of the grid across a named mesh
+axis.  Finite-difference stencils then need one ring ``ppermute`` halo
+exchange per evaluation; pseudo-spectral operators need a distributed FFT
+(local FFT → ``all_to_all`` transpose → local FFT), the TPU-native shape of
+a 2D FFT across ICI.
+
+All functions here run *inside* ``shard_map`` over a mesh axis (default
+``"space"``); each takes the per-shard block with the first spatial axis
+sharded.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "ring_perm",
+    "halo_pad_rows",
+    "sharded_lap_2nd_2d",
+    "distributed_fft2",
+    "distributed_ifft2",
+]
+
+
+def ring_perm(n: int, shift: int = 1):
+    """Ring permutation [(src, dst)] for ``ppermute``."""
+    return [(i, (i + shift) % n) for i in range(n)]
+
+
+def halo_pad_rows(u_local, axis_name: str, halo: int = 1):
+    """Pad ``halo`` rows on each side of the sharded first-spatial axis.
+
+    One bidirectional ring ``ppermute`` per side; periodic global topology.
+    ``u_local``: (..., rows_local, cols).
+    """
+    n = jax.lax.axis_size(axis_name)
+    # My last rows become the next shard's top halo; my first rows the
+    # previous shard's bottom halo.
+    top_halo = jax.lax.ppermute(
+        u_local[..., -halo:, :], axis_name, ring_perm(n, +1)
+    )
+    bottom_halo = jax.lax.ppermute(
+        u_local[..., :halo, :], axis_name, ring_perm(n, -1)
+    )
+    return jnp.concatenate([top_halo, u_local, bottom_halo], axis=-2)
+
+
+def sharded_lap_2nd_2d(u_local, hx: float, hy: float, axis_name: str = "space"):
+    """2nd-order periodic Laplacian of a row-sharded 2D field.
+
+    Matches the single-device :func:`pde_opt_tpu.ops.stencils.lap_2nd_2d`
+    exactly (same arithmetic; halos replace the cross-shard rolls).
+    """
+    up = halo_pad_rows(u_local, axis_name, halo=1)
+    lap_rows = (up[..., :-2, :] - 2 * up[..., 1:-1, :] + up[..., 2:, :]) / hx**2
+    lap_cols = (
+        jnp.roll(u_local, 1, -1) - 2 * u_local + jnp.roll(u_local, -1, -1)
+    ) / hy**2
+    return lap_rows + lap_cols
+
+
+def distributed_fft2(u_local, axis_name: str = "space"):
+    """2D FFT of a row-sharded field via all_to_all transpose.
+
+    Input: per-shard ``(N/P, M)`` row block of a global ``(N, M)`` field.
+    Output: per-shard ``(N, M/P)`` **column block** of the global 2D FFT
+    (i.e. output sharded over the last axis).  Pair with
+    :func:`distributed_ifft2`, which accepts that layout and returns row
+    blocks — spectral multipliers apply elementwise in the transposed layout
+    (slice the symbol with ``[..., :, col_block]``).
+    """
+    n_dev = jax.lax.axis_size(axis_name)
+    npp, m = u_local.shape[-2], u_local.shape[-1]
+    a = jnp.fft.fft(u_local, axis=-1)
+    a = a.reshape(*a.shape[:-1], n_dev, m // n_dev)
+    # Scatter column chunks, gather row chunks: a global transpose.
+    a = jax.lax.all_to_all(a, axis_name, split_axis=a.ndim - 2,
+                           concat_axis=a.ndim - 3)
+    a = a.reshape(*a.shape[: -3], npp * n_dev, m // n_dev)
+    return jnp.fft.fft(a, axis=-2)
+
+
+def distributed_ifft2(f_local, axis_name: str = "space"):
+    """Inverse of :func:`distributed_fft2`: (N, M/P) column block → (N/P, M) rows."""
+    n_dev = jax.lax.axis_size(axis_name)
+    n, mpp = f_local.shape[-2], f_local.shape[-1]
+    a = jnp.fft.ifft(f_local, axis=-2)
+    # Scatter row chunks back to their owner shards, gather column chunks.
+    a = a.reshape(*a.shape[:-2], n_dev, n // n_dev, mpp)
+    a = jax.lax.all_to_all(a, axis_name, split_axis=a.ndim - 3,
+                           concat_axis=a.ndim - 2)
+    # Out layout: (*batch, n/P, n_dev, mpp) — flatten source-device-major
+    # columns back into the full M axis.
+    a = a.reshape(*a.shape[:-2], mpp * n_dev)
+    return jnp.fft.ifft(a, axis=-1)

@@ -17,7 +17,15 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "env_sharding", "replicated_sharding"]
+try:  # jax >= 0.8 top-level; fall back to the experimental path
+    from jax import shard_map as _shard_map_new
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=None):
+        return _shard_map_new(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+__all__ = ["make_mesh", "env_sharding", "replicated_sharding", "shard_map"]
 
 
 def make_mesh(

@@ -16,7 +16,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from pde_opt_tpu.parallel.mesh import shard_map
 
 from ..envs.vector_env import EnvState, VectorPDEEnv
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "as_arrays",
     "is_array_like",
     "is_inexact_array_like",
     "partition",
@@ -56,6 +57,15 @@ def partition(tree: Any, filter_fn: Callable[[Any], bool] = is_inexact_array_lik
         lambda x: None if filter_fn(x) else x, tree, is_leaf=lambda x: x is None
     )
     return dynamic, static
+
+
+def as_arrays(tree: Any) -> Any:
+    """Convert every non-None leaf to a jax array (optimizers need .shape)."""
+    return jax.tree_util.tree_map(
+        lambda x: None if x is None else jnp.asarray(x),
+        tree,
+        is_leaf=lambda x: x is None,
+    )
 
 
 def combine(dynamic: Any, static: Any) -> Any:
