@@ -34,8 +34,10 @@ def main():
 
     from pde_opt_tpu.envs.presets import make_cahn_hilliard_control_env
 
+    derivs = "pallas" if platform != "cpu" else "fd"
     env = make_cahn_hilliard_control_env(
-        num_envs=num_envs, grid_size=GRID, substeps=SUBSTEPS
+        num_envs=num_envs, grid_size=GRID, substeps=SUBSTEPS, derivs=derivs,
+        vectorized_control=True,
     )
 
     def policy(obs, key):
@@ -50,10 +52,12 @@ def main():
     state, rewards, terms = run(state, jax.random.PRNGKey(1))
     jax.block_until_ready(rewards)
 
+    # NOTE: block_until_ready does not reliably block on remote-relay TPU
+    # runtimes; force completion with a scalar fetch inside the timed region.
     t0 = time.perf_counter()
     for i in range(TIMED_RUNS):
         state, rewards, terms = run(state, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(rewards)
+    reward_sum = float(jnp.sum(rewards))
     elapsed = time.perf_counter() - t0
 
     if not bool(jnp.isfinite(rewards).all()):

@@ -44,6 +44,7 @@ from .models.functions import (
     PeriodicCNN,
 )
 from .ops import (
+    DirectionalSplitting,
     Euler,
     Heun,
     ImplicitEuler,
@@ -96,6 +97,7 @@ __all__ = [
     "Tsit5",
     "SemiImplicitFourierSpectral",
     "StrangSplitting",
+    "DirectionalSplitting",
     "ImplicitEuler",
     "evolve",
     "integrate",

@@ -26,6 +26,8 @@ def make_cahn_hilliard_control_env(
     step_dt: float = 0.01,
     dtype=jnp.float32,
     auto_reset: bool = True,
+    derivs: str = "fd",
+    vectorized_control: bool = True,
 ) -> VectorPDEEnv:
     """64×64 Cahn-Hilliard control fleet: the agent drives κ (interface width).
 
@@ -61,15 +63,19 @@ def make_cahn_hilliard_control_env(
         update_control_value=lambda off, old: jnp.clip(
             old + 0.0005 * off[..., 0], 0.002, 0.01
         ),
-        update_control_parameter=lambda old, new: new,
+        # Shape the per-env κ so it broadcasts against (B, H, W) fields in
+        # the vectorized (no-vmap) fast path; a scalar κ under vmap gains the
+        # same trailing axes harmlessly.
+        update_control_parameter=lambda old, new: new[..., None, None],
         action_space_config={"type": "continuous", "shape": (1,)},
         static_equation_parameters={
             "mu": lambda c: c**3 - c,
             "D": lambda c: jnp.ones_like(c),
-            "derivs": "fd",
+            "derivs": derivs,
         },
         control_equation_parameter_name="kappa",
         solver_parameters={"A": 0.5},
         num_envs=num_envs,
         auto_reset=auto_reset,
+        vectorized_control=vectorized_control,
     )

@@ -100,6 +100,7 @@ class VectorPDEEnv:
         solver_parameters: Dict[str, Any],
         num_envs: int = 1,
         auto_reset: bool = True,
+        vectorized_control: bool = False,
     ):
         self.equation_type = equation_type
         self.domain = domain
@@ -124,6 +125,14 @@ class VectorPDEEnv:
         self.solver_parameters = solver_parameters
         self.num_envs = num_envs
         self.auto_reset = auto_reset
+        # vectorized_control: advance the whole fleet through ONE
+        # batch-transparent equation instead of vmapping a per-env core.
+        # Requires (a) update_control_value/update_control_parameter to be
+        # batch-aware (e.g. reshape a (B,) control to (B,1,1) so it
+        # broadcasts against (B,H,W) fields) and (b) a time-autonomous rhs.
+        # This is the fast path: it admits fused (Pallas) RHS kernels that
+        # cannot sit under vmap.
+        self.vectorized_control = vectorized_control
 
         cfg = dict(action_space_config)
         self.action_type = cfg.get("type", "continuous")
@@ -195,10 +204,33 @@ class VectorPDEEnv:
         )
         return state, self.state_to_observation_func(state.y)
 
-    def _step_impl(self, state: EnvState, actions):
-        y1, cv1 = jax.vmap(self._advance_single)(
-            state.y, state.control_value, actions, state.t
+    def _advance_batched(self, y, cv, actions):
+        """Whole-fleet macro-step through one batch-transparent equation."""
+        offset = actions
+        if self.action_type == "discrete":
+            offset = self._action_table[actions]
+        new_cv = self.update_control_value(offset, cv)
+        control_param = self.update_control_parameter(cv, new_cv)
+        eq = self.equation_type(
+            domain=self.domain,
+            **{
+                **self.static_equation_parameters,
+                self.control_equation_parameter_name: control_param,
+            },
         )
+        solver = self.solver_type(
+            **prepare_solver_params(self.solver_type, self.solver_parameters, eq)
+        )
+        y1 = evolve(solver, eq.rhs, y, 0.0, self.dt_sub, self.n_substeps)
+        return y1, new_cv
+
+    def _step_impl(self, state: EnvState, actions):
+        if self.vectorized_control:
+            y1, cv1 = self._advance_batched(state.y, state.control_value, actions)
+        else:
+            y1, cv1 = jax.vmap(self._advance_single)(
+                state.y, state.control_value, actions, state.t
+            )
         t1 = state.t + self.step_dt
         steps1 = state.step_count + 1
         # Per-env divergence mask: a non-finite field terminates (and, under

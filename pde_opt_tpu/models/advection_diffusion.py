@@ -17,7 +17,7 @@ import numpy as np
 
 from ..grid import Domain
 from ..ops import stencils as st
-from ..ops.spectral import make_fft_pair
+from ..ops.spectral import make_fft_pair, make_rfft_pair
 from .base import BaseEquation
 
 __all__ = ["AdvectionDiffusion2D"]
@@ -41,18 +41,22 @@ class AdvectionDiffusion2D(BaseEquation):
     fourier_symbol = None
 
     def __init__(self, domain: Domain, velocity: Callable, diffusion_coeff,
-                 smooth: bool = False, derivs: str = "fd"):
+                 smooth: bool = False, derivs: str = "fd", use_rfft: bool = True):
         self.domain = domain
         self.velocity = velocity
         self.diffusion_coeff = diffusion_coeff
         self.smooth = smooth
         self.derivs = derivs
+        self.use_rfft = use_rfft
 
-        kx, ky = domain.fft_mesh()
+        kx, ky = domain.rfft_mesh() if use_rfft else domain.fft_mesh()
         self.two_pi_i_kx = 2j * np.pi * kx
         self.two_pi_i_ky = 2j * np.pi * ky
         self.two_pi_i_k_2 = self.two_pi_i_kx**2 + self.two_pi_i_ky**2
-        self.fft, self.ifft = make_fft_pair(2)
+        if use_rfft:
+            self.fft, self.ifft = make_rfft_pair(2, domain.points)
+        else:
+            self.fft, self.ifft = make_fft_pair(2)
         # Diffusion is the stiff part: symbol −D(2πik)² for semi-implicit use.
         self.fourier_symbol = -diffusion_coeff * self.two_pi_i_k_2
         self.xmesh, self.ymesh = domain.mesh()

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..grid import Domain
 from ..ops import stencils as st
-from ..ops.spectral import make_fft_pair
+from ..ops.spectral import make_fft_pair, make_rfft_pair
 from .base import BaseEquation
 
 __all__ = [
@@ -38,12 +38,16 @@ __all__ = [
 class _Spectral2D:
     """Shared 2D spectral precomputation (k-meshes fold to jit constants)."""
 
-    def _init_spectral(self, domain: Domain):
-        kx, ky = domain.fft_mesh()
+    def _init_spectral(self, domain: Domain, use_rfft: bool = True):
+        self.use_rfft = use_rfft
+        kx, ky = domain.rfft_mesh() if use_rfft else domain.fft_mesh()
         self.two_pi_i_kx = 2j * np.pi * kx
         self.two_pi_i_ky = 2j * np.pi * ky
         self.two_pi_i_k_2 = self.two_pi_i_kx**2 + self.two_pi_i_ky**2
-        self.fft, self.ifft = make_fft_pair(2)
+        if use_rfft:
+            self.fft, self.ifft = make_rfft_pair(2, domain.points)
+        else:
+            self.fft, self.ifft = make_fft_pair(2)
 
 
 class AllenCahn2DPeriodic(BaseEquation, _Spectral2D):
@@ -53,13 +57,13 @@ class AllenCahn2DPeriodic(BaseEquation, _Spectral2D):
     ifft = None
 
     def __init__(self, domain: Domain, kappa, mu: Callable, R: Callable,
-                 derivs: str = "fd"):
+                 derivs: str = "fd", use_rfft: bool = True):
         self.domain = domain
         self.kappa = kappa
         self.mu = mu
         self.R = R
         self.derivs = derivs
-        self._init_spectral(domain)
+        self._init_spectral(domain, use_rfft)
         # Spectral symbol of the highest-order operator (−κ∇² → −κ(2πik)²);
         # lets the semi-implicit stepper treat stiff AC too (not in reference).
         self.fourier_symbol = -kappa * self.two_pi_i_k_2

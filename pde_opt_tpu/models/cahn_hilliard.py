@@ -22,7 +22,7 @@ import numpy as np
 
 from ..grid import Domain
 from ..ops import stencils as st
-from ..ops.spectral import make_fft_pair
+from ..ops.spectral import make_fft_pair, make_rfft_pair
 from .base import BaseEquation
 
 __all__ = [
@@ -46,27 +46,46 @@ class CahnHilliard2DPeriodic(BaseEquation):
     fourier_symbol = None
 
     def __init__(self, domain: Domain, kappa, mu: Callable, D: Callable,
-                 derivs: str = "fd"):
+                 derivs: str = "fd", use_rfft: bool = True):
         self.domain = domain
         self.kappa = kappa
         self.mu = mu
         self.D = D
         self.derivs = derivs
+        self.use_rfft = use_rfft
 
-        kx, ky = domain.fft_mesh()
+        # Real fields only need the half-spectrum: rfft halves the FFT HBM
+        # traffic of every semi-implicit step (pass use_rfft=False for the
+        # reference's full-fftn semantics).
+        kx, ky = domain.rfft_mesh() if use_rfft else domain.fft_mesh()
         self.two_pi_i_kx = 2j * np.pi * kx
         self.two_pi_i_ky = 2j * np.pi * ky
         self.two_pi_i_k_2 = self.two_pi_i_kx**2 + self.two_pi_i_ky**2
         self.two_pi_i_k_4 = self.two_pi_i_k_2**2
-        self.fft, self.ifft = make_fft_pair(2)
+        if use_rfft:
+            self.fft, self.ifft = make_rfft_pair(2, domain.points)
+        else:
+            self.fft, self.ifft = make_fft_pair(2)
         self.fourier_symbol = kappa * self.two_pi_i_k_4
 
         if derivs == "fourier":
             self.rhs = self.rhs_fourier
         elif derivs == "fd":
             self.rhs = self.rhs_fd
+        elif derivs == "pallas":
+            # Fused single-kernel FD RHS: one HBM read + one write instead of
+            # ~20 roll passes (see ops/fused.py). mu/D must be elementwise.
+            from ..ops.fused import make_ch_rhs_fd_fused
+
+            self._fused_rhs = make_ch_rhs_fd_fused(
+                self.mu, self.D, domain.dx[0], domain.dx[1]
+            )
+            self.rhs = self.rhs_pallas
         else:
             raise ValueError(f"Invalid derivative type: {derivs}")
+
+    def rhs_pallas(self, state, t):
+        return self._fused_rhs(state, self.kappa)
 
     def rhs_fourier(self, state, t):
         state_hat = self.fft(state)
@@ -95,14 +114,15 @@ class CahnHilliard3DPeriodic(BaseEquation):
     fourier_symbol = None
 
     def __init__(self, domain: Domain, kappa, mu: Callable, D: Callable,
-                 derivs: str = "fd"):
+                 derivs: str = "fd", use_rfft: bool = True):
         self.domain = domain
         self.kappa = kappa
         self.mu = mu
         self.D = D
         self.derivs = derivs
+        self.use_rfft = use_rfft
 
-        kx, ky, kz = domain.fft_mesh()
+        kx, ky, kz = domain.rfft_mesh() if use_rfft else domain.fft_mesh()
         self.two_pi_i_kx = 2j * np.pi * kx
         self.two_pi_i_ky = 2j * np.pi * ky
         self.two_pi_i_kz = 2j * np.pi * kz
@@ -110,7 +130,10 @@ class CahnHilliard3DPeriodic(BaseEquation):
             self.two_pi_i_kx**2 + self.two_pi_i_ky**2 + self.two_pi_i_kz**2
         )
         self.two_pi_i_k_4 = self.two_pi_i_k_2**2
-        self.fft, self.ifft = make_fft_pair(3)
+        if use_rfft:
+            self.fft, self.ifft = make_rfft_pair(3, domain.points)
+        else:
+            self.fft, self.ifft = make_fft_pair(3)
         self.fourier_symbol = kappa * self.two_pi_i_k_4
 
         if derivs == "fourier":

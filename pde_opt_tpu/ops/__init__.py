@@ -8,6 +8,7 @@ from .steppers import (
     Tsit5,
     SemiImplicitFourierSpectral,
     StrangSplitting,
+    DirectionalSplitting,
     ImplicitEuler,
 )
 from .integrate import evolve, integrate, integrate_adaptive
@@ -22,6 +23,7 @@ __all__ = [
     "Tsit5",
     "SemiImplicitFourierSpectral",
     "StrangSplitting",
+    "DirectionalSplitting",
     "ImplicitEuler",
     "evolve",
     "integrate",

@@ -17,7 +17,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fftn", "ifftn", "rfftn", "irfftn", "spatial_axes", "make_fft_pair"]
+__all__ = ["fftn", "ifftn", "rfftn", "irfftn", "spatial_axes", "make_fft_pair", "make_rfft_pair"]
 
 
 def spatial_axes(ndim: int) -> Tuple[int, ...]:
@@ -48,6 +48,28 @@ def make_fft_pair(ndim: int):
     the solver auto-wiring contract (reference ``solvers.py:42,84``), batched.
     """
     return partial(fftn, ndim=ndim), partial(ifftn, ndim=ndim)
+
+
+def make_rfft_pair(ndim: int, shape):
+    """Real-input ``(rfft, irfft)`` closures over the trailing ``ndim`` axes.
+
+    Real PDE fields only need the half-spectrum: rfft halves the spectral
+    array (and hence HBM traffic through the semi-implicit step's
+    divide-by-symbol) vs the reference's full ``fftn``
+    (``cahn_hilliard.py:72-73``).  ``irfft`` pins the output length to
+    ``shape`` so odd-size grids round-trip exactly.  Note ``irfft`` returns a
+    *real* array; ``.real`` on it is a no-op, so these closures satisfy the
+    same stepper contract as the complex pair.
+    """
+    shape = tuple(shape)
+
+    def _rfft(x):
+        return jnp.fft.rfftn(x, axes=spatial_axes(ndim))
+
+    def _irfft(x):
+        return jnp.fft.irfftn(x, s=shape, axes=spatial_axes(ndim))
+
+    return _rfft, _irfft
 
 
 def fourier_derivative(u_hat, two_pi_i_k: jax.Array):
