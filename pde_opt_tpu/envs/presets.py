@@ -28,6 +28,7 @@ def make_cahn_hilliard_control_env(
     auto_reset: bool = True,
     derivs: str = "fd",
     vectorized_control: bool = True,
+    spectral_solve: str = "fft",
 ) -> VectorPDEEnv:
     """64×64 Cahn-Hilliard control fleet: the agent drives κ (interface width).
 
@@ -41,10 +42,35 @@ def make_cahn_hilliard_control_env(
         (grid_size, grid_size), ((-L / 2, L / 2), (-L / 2, L / 2)),
         "dimensionless", dtype=dtype,
     )
+    kappa_max = 0.01
+    if spectral_solve == "dense_bf16":
+        # Fixed-symbol semi-implicit step: the implicit damping uses
+        # kappa_max (an upper bound of the control range), so the spectral
+        # solve is one shared dense MXU matmul for the whole fleet.
+        import numpy as np
+
+        from ..ops.steppers import SemiImplicitDenseSolve
+
+        kx, ky = domain.fft_mesh()
+        symbol = kappa_max * (
+            (2 * np.pi * kx) ** 2 + (2 * np.pi * ky) ** 2
+        ) ** 2
+        solver_type = SemiImplicitDenseSolve
+        solver_parameters = {
+            "A": 0.5,
+            "dense_symbol": symbol,
+            "points": domain.points,
+            "dtype": "bf16",
+        }
+    elif spectral_solve == "fft":
+        solver_type = SemiImplicitFourierSpectral
+        solver_parameters = {"A": 0.5}
+    else:
+        raise ValueError(f"unknown spectral_solve: {spectral_solve!r}")
     return VectorPDEEnv(
         equation_type=CahnHilliard2DPeriodic,
         domain=domain,
-        solver_type=SemiImplicitFourierSpectral,
+        solver_type=solver_type,
         end_time=end_time,
         step_dt=step_dt,
         numeric_dt=step_dt / substeps,
@@ -74,7 +100,7 @@ def make_cahn_hilliard_control_env(
             "derivs": derivs,
         },
         control_equation_parameter_name="kappa",
-        solver_parameters={"A": 0.5},
+        solver_parameters=solver_parameters,
         num_envs=num_envs,
         auto_reset=auto_reset,
         vectorized_control=vectorized_control,

@@ -177,6 +177,83 @@ class SemiImplicitFourierSpectral(AbstractStepper):
         return type(self) is type(other) and self.A == other.A
 
 
+class SemiImplicitDenseSolve(AbstractStepper):
+    """Semi-implicit step with the spectral solve as ONE dense MXU matmul.
+
+    Same family as :class:`SemiImplicitFourierSpectral` but the implicit
+    high-order damping uses a *fixed* reference symbol σ(k) (e.g. κ_max(2πik)⁴
+    for a control env whose κ ≤ κ_max):
+
+        ``y1 = y0 + dt · Re ifft2( fft2(f0) / (1 + A·dt·σ) )``
+
+    For fixed σ and dt the whole solve is a real linear operator on the
+    field, precomputed host-side as an (HW, HW) matrix and applied as a
+    single ``(B, HW) @ (HW, HW)`` matmul — perfectly MXU-shaped, measured
+    ~3.4× faster than the XLA FFT pair at 4096×64² on v5e (bf16 operands,
+    f32 accumulation, ~3e-3 relative error on the increment).  Any A·dt·σ
+    upper-bounding the true stiffness keeps the stabilization property, so a
+    per-env κ control works with one shared matrix.
+
+    Notes: ``dt`` must be trace-time concrete (fixed-dt env loops are);
+    matrices are cached per dt.
+    """
+
+    required_equation_attrs = ()
+    order = 1
+
+    def __init__(self, A, dense_symbol, points, dtype: str = "bf16"):
+        """Args:
+            A: splitting constant (as in the reference stepper).
+            dense_symbol: full-spectrum numpy symbol σ(k), shape ``points``.
+            points: grid shape (H, W).
+            dtype: matmul operand dtype, "bf16" (fast) or "f32" (exact).
+        """
+        import numpy as _np
+
+        self.A = A
+        self.dense_symbol = _np.asarray(dense_symbol)
+        self.points = tuple(points)
+        self.dtype = dtype
+        self._cache = {}
+
+    def _solve_for_dt(self, dt: float):
+        key = float(dt)
+        if key not in self._cache:
+            import numpy as _np
+
+            from .dft import make_dense_spectral_solve
+
+            denom = 1.0 / (1.0 + float(self.A) * key * self.dense_symbol)
+            self._cache[key] = make_dense_spectral_solve(
+                self.points, _np.real(denom), dtype=self.dtype
+            )
+        return self._cache[key]
+
+    def step(self, rhs, y, t, dt):
+        if isinstance(dt, jax.core.Tracer):
+            raise TypeError(
+                "SemiImplicitDenseSolve requires a trace-time concrete dt "
+                "(fixed-step loops); use SemiImplicitFourierSpectral for "
+                "adaptive dt."
+            )
+        solve = self._solve_for_dt(float(dt))
+        f0 = rhs(y, t)
+        y1 = y + dt * solve(f0)
+        return y1, y1 - (y + dt * f0)
+
+    def __hash__(self):
+        return hash((type(self), float(self.A), self.points, self.dtype))
+
+    def __eq__(self, other):
+        return (
+            type(self) is type(other)
+            and self.A == other.A
+            and self.points == other.points
+            and self.dtype == other.dtype
+            and (self.dense_symbol == other.dense_symbol).all()
+        )
+
+
 class StrangSplitting(AbstractStepper):
     """Strang split-step Fourier method for time-splitting equations (GPE).
 
