@@ -43,7 +43,7 @@ def make_cahn_hilliard_control_env(
         "dimensionless", dtype=dtype,
     )
     kappa_max = 0.01
-    if spectral_solve == "dense_bf16":
+    if spectral_solve in ("dense", "dense_bf16"):
         # Fixed-symbol semi-implicit step: the implicit damping uses
         # kappa_max (an upper bound of the control range), so the spectral
         # solve is one shared dense MXU matmul for the whole fleet.
@@ -60,7 +60,7 @@ def make_cahn_hilliard_control_env(
             "A": 0.5,
             "dense_symbol": symbol,
             "points": domain.points,
-            "dtype": "bf16",
+            "dtype": "bf16_sqrt" if spectral_solve == "dense" else "bf16",
         }
     elif spectral_solve == "fft":
         solver_type = SemiImplicitFourierSpectral

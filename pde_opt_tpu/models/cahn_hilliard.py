@@ -29,6 +29,7 @@ __all__ = [
     "CahnHilliard2DPeriodic",
     "CahnHilliard3DPeriodic",
     "CahnHilliard2DSmoothedBoundary",
+    "CahnHilliardSIFFT",
 ]
 
 
@@ -232,3 +233,8 @@ class CahnHilliard2DSmoothedBoundary(BaseEquation):
         return (
             st.div_f2c(Fx, self.hx, -2) + st.div_f2c(Fy, self.hy, -1)
         ) / self.psi + self.norm_grad_psi * self.flux(t)
+
+
+# Ghost/legacy alias: the pre-rename class name reference notebooks import
+# (`notebooks/tmp.py:6-8`, `test_optimization_model.ipynb` cell 0).
+CahnHilliardSIFFT = CahnHilliard2DPeriodic

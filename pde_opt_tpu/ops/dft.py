@@ -47,9 +47,35 @@ def dense_solve_matrix(points, denom: np.ndarray) -> np.ndarray:
     return out.reshape(n, n).T.copy()  # column j action -> S[:, j]
 
 
-def make_dense_spectral_solve(points, denom: np.ndarray, dtype: str = "bf16"):
-    """Return ``solve(x)`` applying the fixed dense solve to (..., H, W)."""
+def make_dense_spectral_solve(points, denom: np.ndarray, dtype: str = "bf16_sqrt"):
+    """Return ``solve(x)`` applying the fixed dense solve to (..., H, W).
+
+    ``dtype="bf16_sqrt"`` (default) factors the operator as P = √P·√P and
+    applies two bf16 matmuls: the second √P spectrally damps the first's
+    bf16 rounding noise exactly where the stiff feedback loop would amplify
+    it (high k), which restores long-rollout stability that a single flat
+    bf16 matmul loses — at 2× the matmul cost, still well under the FFT
+    pair.  ``"bf16"`` is the single flat matmul (fastest, unstable in stiff
+    loops); ``"f32"`` is exact (slow).
+    """
     H, W = points
+    if dtype == "bf16_sqrt":
+        denom = np.asarray(denom)
+        if np.any(denom < 0):
+            raise ValueError("bf16_sqrt requires a nonnegative denominator")
+        S_half = jnp.asarray(
+            dense_solve_matrix(points, np.sqrt(denom)), jnp.bfloat16
+        )
+
+        def solve(x):
+            *batch, h, w = x.shape
+            xb = x.reshape(-1, h * w).astype(jnp.bfloat16)
+            half = jnp.dot(xb, S_half.T, preferred_element_type=jnp.float32)
+            out = jnp.dot(half.astype(jnp.bfloat16), S_half.T,
+                          preferred_element_type=jnp.float32)
+            return out.reshape(*batch, h, w).astype(x.dtype)
+
+        return solve
     S = dense_solve_matrix(points, denom)
     if dtype == "bf16":
         S_dev = jnp.asarray(S, jnp.bfloat16)

@@ -30,7 +30,9 @@ __all__ = [
     "RK4",
     "Tsit5",
     "SemiImplicitFourierSpectral",
+    "SemiImplicitDenseSolve",
     "StrangSplitting",
+    "DirectionalSplitting",
     "ImplicitEuler",
 ]
 
@@ -201,12 +203,14 @@ class SemiImplicitDenseSolve(AbstractStepper):
     required_equation_attrs = ()
     order = 1
 
-    def __init__(self, A, dense_symbol, points, dtype: str = "bf16"):
+    def __init__(self, A, dense_symbol, points, dtype: str = "bf16_sqrt"):
         """Args:
             A: splitting constant (as in the reference stepper).
             dense_symbol: full-spectrum numpy symbol σ(k), shape ``points``.
             points: grid shape (H, W).
-            dtype: matmul operand dtype, "bf16" (fast) or "f32" (exact).
+            dtype: "bf16_sqrt" (default; sqrt-factored two-stage bf16 —
+                fast AND stable in stiff loops), "bf16" (flat, fastest,
+                unstable feedback), or "f32" (exact, slow).
         """
         import numpy as _np
 

@@ -100,10 +100,10 @@ def test_sharded_rollout_runs():
 def test_learner_psum_gradients():
     """Co-located learner pattern: per-shard data, replicated params.
 
-    Under shard_map's varying-axis semantics, ``jax.grad`` w.r.t. a
-    *replicated* (unvarying) parameter already inserts the cross-shard psum
-    in the backward pass — the gradient comes out replicated; only the
-    scalar loss (a varying value) needs an explicit ``psum``.
+    Our ``shard_map`` wrapper runs with ``check_vma=False`` (classic
+    semantics; see ``parallel/mesh.py`` for why), so gradients w.r.t. a
+    replicated parameter are per-shard partials and the learner must
+    explicitly ``psum`` them — same as the loss.
     """
     mesh = make_mesh()
     n_dev = len(jax.devices())
@@ -116,7 +116,7 @@ def test_learner_psum_gradients():
     def loss_shard(w, xs):
         per = jnp.sum((xs @ w) ** 2) / (8 * n_dev)
         g = jax.grad(lambda w_: jnp.sum((xs @ w_) ** 2) / (8 * n_dev))(w)
-        return jax.lax.psum(per, "env"), g
+        return jax.lax.psum(per, "env"), jax.lax.psum(g, "env")
 
     f = jax.jit(
         shard_map(
