@@ -35,7 +35,7 @@ def main():
     from pde_opt_tpu.envs.presets import make_cahn_hilliard_control_env
 
     derivs = "pallas" if platform != "cpu" else "fd"
-    spectral = "dense" if platform != "cpu" else "fft"
+    spectral = "fused" if platform != "cpu" else "fft"
     env = make_cahn_hilliard_control_env(
         num_envs=num_envs, grid_size=GRID, substeps=SUBSTEPS, derivs=derivs,
         vectorized_control=True, spectral_solve=spectral,

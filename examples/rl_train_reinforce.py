@@ -19,6 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from pde_opt_tpu.envs import make_cahn_hilliard_control_env
 from pde_opt_tpu.models.functions.cnn import PeriodicCNN
 

@@ -43,7 +43,17 @@ def make_cahn_hilliard_control_env(
         "dimensionless", dtype=dtype,
     )
     kappa_max = 0.01
-    if spectral_solve in ("dense", "dense_bf16"):
+    if spectral_solve == "fused":
+        # Whole-macro-step Pallas kernel: all substeps VMEM-resident, DFTs
+        # as MXU matmuls, per-env kappa in the implicit denominator.  A=1
+        # gives deadbeat high-k damping of bf16 rounding noise (see
+        # ops/fused_spectral.py).  Fastest path: ~4x the dense-matmul
+        # solve at 4096x64^2 on v5e.
+        from ..ops.steppers import FusedSemiImplicitSpectral
+
+        solver_type = FusedSemiImplicitSpectral
+        solver_parameters = {"A": 1.0}
+    elif spectral_solve in ("dense", "dense_bf16"):
         # Fixed-symbol semi-implicit step: the implicit damping uses
         # kappa_max (an upper bound of the control range), so the spectral
         # solve is one shared dense MXU matmul for the whole fleet.

@@ -7,6 +7,7 @@ from .steppers import (
     RK4,
     Tsit5,
     SemiImplicitFourierSpectral,
+    FusedSemiImplicitSpectral,
     StrangSplitting,
     DirectionalSplitting,
     ImplicitEuler,
@@ -22,6 +23,7 @@ __all__ = [
     "RK4",
     "Tsit5",
     "SemiImplicitFourierSpectral",
+    "FusedSemiImplicitSpectral",
     "StrangSplitting",
     "DirectionalSplitting",
     "ImplicitEuler",

@@ -63,7 +63,15 @@ def evolve(
     ``numeric_dt`` substeps) fuses into one scan — the reference instead
     re-entered diffrax (and re-jitted the rhs) every RL step
     (``pde_env.py:281-303``).
+
+    Steppers may override the whole loop by defining
+    ``evolve(rhs, y0, t0, dt, n_steps, unroll)`` — the hook the fused
+    Pallas macro-step stepper (:class:`~pde_opt_tpu.ops.steppers.FusedSemiImplicitSpectral`)
+    uses to keep all substeps VMEM-resident in one kernel.
     """
+    own = getattr(stepper, "evolve", None)
+    if own is not None:
+        return own(rhs, y0, t0, dt, n_steps, unroll)
 
     def body(y, i):
         t = t0 + i * dt

@@ -31,6 +31,7 @@ __all__ = [
     "Tsit5",
     "SemiImplicitFourierSpectral",
     "SemiImplicitDenseSolve",
+    "FusedSemiImplicitSpectral",
     "StrangSplitting",
     "DirectionalSplitting",
     "ImplicitEuler",
@@ -256,6 +257,79 @@ class SemiImplicitDenseSolve(AbstractStepper):
             and self.dtype == other.dtype
             and (self.dense_symbol == other.dense_symbol).all()
         )
+
+
+class FusedSemiImplicitSpectral(AbstractStepper):
+    """Whole-macro-step fused Pallas SIF stepper (the flagship fast path).
+
+    Runs *all* substeps of an :func:`pde_opt_tpu.ops.integrate.evolve` call
+    inside one Pallas kernel — field and spectrum stay VMEM-resident, the
+    DFTs are MXU matmuls, and the semi-implicit solve uses the env's own
+    per-env ``kappa`` in the denominator (see
+    :mod:`pde_opt_tpu.ops.fused_spectral` for semantics and measured perf:
+    ~4x the dense-matmul path at 4096x64^2 on v5e).
+
+    Contract: the equation must be Cahn-Hilliard-like with elementwise
+    ``mu`` and **unit mobility** (``D == 1``) — the preset envs that select
+    this stepper guarantee it, and construction probes ``D`` when it can.
+    Batched (``vectorized_control``) paths only; not differentiable.
+    """
+
+    required_equation_attrs = ("kappa", "mu", "D", "domain")
+    order = 1
+
+    def __init__(self, kappa, mu, D, domain, A: float = 1.0,
+                 block_envs=None, mats_dtype=None, interpret=None):
+        self.kappa = kappa
+        self.mu = mu
+        self.domain = domain
+        self.A = float(A)
+        self.block_envs = block_envs
+        self.mats_dtype = mats_dtype
+        self.interpret = interpret
+        # Best-effort D == 1 probe (host-side, concrete; skipped if D closes
+        # over traced values).
+        try:
+            probe = D(jnp.linspace(0.1, 0.9, 4))
+            import numpy as _np
+
+            if not _np.allclose(_np.asarray(probe), 1.0):
+                raise ValueError(
+                    "FusedSemiImplicitSpectral requires unit mobility "
+                    "(D == 1); use SemiImplicitFourierSpectral otherwise."
+                )
+        except ValueError:
+            raise
+        except Exception:
+            pass
+
+    def _macro(self, dt, n_steps):
+        from .fused_spectral import make_ch_sif_fused_macro
+
+        H, W = self.domain.points
+        hx, hy = self.domain.dx
+        kwargs = {}
+        if self.mats_dtype is not None:
+            kwargs["mats_dtype"] = self.mats_dtype
+        return make_ch_sif_fused_macro(
+            self.mu, H, W, float(hx), float(hy), self.A, float(dt),
+            int(n_steps), block_envs=self.block_envs,
+            interpret=self.interpret, **kwargs,
+        )
+
+    def evolve(self, rhs, y0, t0, dt, n_steps, unroll=1):
+        """Advance ``n_steps`` substeps in one kernel (ignores ``rhs`` — the
+        physics enters through ``mu``/``kappa``)."""
+        del rhs, t0, unroll
+        if isinstance(dt, jax.core.Tracer):
+            raise TypeError(
+                "FusedSemiImplicitSpectral requires trace-time concrete dt"
+            )
+        return self._macro(dt, n_steps)(y0, self.kappa)
+
+    def step(self, rhs, y, t, dt):
+        y1 = self.evolve(rhs, y, t, dt, 1)
+        return y1, None
 
 
 class StrangSplitting(AbstractStepper):
