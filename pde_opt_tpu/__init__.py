@@ -58,6 +58,7 @@ from .ops import (
 )
 from .models.pde_model import PDEModel, OptimizationModel
 from .envs import PDEEnv, VectorPDEEnv
+from . import rl
 
 __all__ = [
     # Core classes

@@ -1,0 +1,171 @@
+"""Co-located DQN for discrete-action PDE control envs — fully on-device.
+
+Capability parity with the reference's SB3 ``DQN("CnnPolicy", env)`` workflow
+(``/root/reference/notebooks/test_pde_RL.ipynb`` cell 5), rebuilt TPU-first:
+the replay buffer is a device-resident ring of arrays (uint8 observations),
+and one jitted ``train_step`` = act epsilon-greedily with the whole env
+batch, insert the batch transition, sample a minibatch, take a double-DQN
+TD step, and Polyak-update the target network.  No host round-trips.
+
+Reference algorithm: Mnih et al., Nature 518 (2015); double-DQN target from
+van Hasselt et al., arXiv:1509.06461.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["DQNConfig", "ReplayState", "init_replay", "make_dqn_train_step",
+           "dqn_train"]
+
+
+@dataclass(frozen=True)
+class DQNConfig:
+    capacity: int = 10_000          # transitions (flattened over envs)
+    batch_size: int = 256
+    gamma: float = 0.99
+    lr: float = 1e-3
+    eps_start: float = 1.0
+    eps_end: float = 0.05
+    eps_decay_steps: int = 500
+    tau: float = 0.01               # Polyak target update
+    learn_start: int = 1            # updates before learning begins
+
+
+class ReplayState(NamedTuple):
+    obs: jax.Array        # (capacity, *obs_shape) uint8
+    action: jax.Array     # (capacity,) int32
+    reward: jax.Array     # (capacity,) f32
+    next_obs: jax.Array   # (capacity, *obs_shape) uint8
+    done: jax.Array       # (capacity,) bool
+    ptr: jax.Array        # ()
+    size: jax.Array       # ()
+
+
+def init_replay(config: DQNConfig, obs_shape, obs_dtype=jnp.uint8):
+    cap = config.capacity
+    return ReplayState(
+        obs=jnp.zeros((cap, *obs_shape), obs_dtype),
+        action=jnp.zeros((cap,), jnp.int32),
+        reward=jnp.zeros((cap,), jnp.float32),
+        next_obs=jnp.zeros((cap, *obs_shape), obs_dtype),
+        done=jnp.zeros((cap,), bool),
+        ptr=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+def _insert_batch(replay: ReplayState, obs, action, reward, next_obs, done):
+    """Ring-insert a whole env batch of transitions (B consecutive slots)."""
+    B = obs.shape[0]
+    cap = replay.obs.shape[0]
+    # contiguous wrap-around via modular scatter indices
+    idx = (replay.ptr + jnp.arange(B)) % cap
+    return replay._replace(
+        obs=replay.obs.at[idx].set(obs),
+        action=replay.action.at[idx].set(action.astype(jnp.int32)),
+        reward=replay.reward.at[idx].set(reward.astype(jnp.float32)),
+        next_obs=replay.next_obs.at[idx].set(next_obs),
+        done=replay.done.at[idx].set(done),
+        ptr=(replay.ptr + B) % cap,
+        size=jnp.minimum(replay.size + B, cap),
+    )
+
+
+def make_dqn_train_step(env, config: DQNConfig, optimizer=None):
+    """Build ``train_step(qnet, target, opt_state, replay, env_state, step, key)``.
+
+    ``qnet(obs) -> (B, num_actions)``.  Returns the jitted step and the
+    optimizer.  Epsilon anneals linearly over ``eps_decay_steps`` updates.
+    """
+    if env.action_type != "discrete":
+        raise ValueError("DQN requires a discrete-action env")
+    num_actions = env.num_actions
+    if optimizer is None:
+        optimizer = optax.adam(config.lr)
+
+    def epsilon(step):
+        frac = jnp.clip(step / config.eps_decay_steps, 0.0, 1.0)
+        return config.eps_start + frac * (config.eps_end - config.eps_start)
+
+    def td_loss(qnet, target, batch_obs, batch_a, batch_r, batch_next, batch_d):
+        q = qnet(batch_obs)
+        q_a = jnp.take_along_axis(q, batch_a[:, None], axis=1)[:, 0]
+        # double DQN: argmax under online net, value under target net
+        next_a = jnp.argmax(qnet(batch_next), axis=1)
+        next_q = jnp.take_along_axis(
+            target(batch_next), next_a[:, None], axis=1
+        )[:, 0]
+        tgt = batch_r + config.gamma * next_q * (1.0 - batch_d.astype(jnp.float32))
+        return jnp.mean(optax.huber_loss(q_a, jax.lax.stop_gradient(tgt)))
+
+    @partial(jax.jit, donate_argnums=(2, 3, 4))
+    def train_step(qnet, target, opt_state, replay, env_state, step, key):
+        key, akey, skey = jax.random.split(key, 3)
+        obs = env.state_to_observation_func(env_state.y)
+        q = qnet(obs)
+        greedy = jnp.argmax(q, axis=1)
+        rand = jax.random.randint(akey, greedy.shape, 0, num_actions)
+        explore = (
+            jax.random.uniform(akey, greedy.shape) < epsilon(step)
+        )
+        actions = jnp.where(explore, rand, greedy)
+        env_state1, _, reward, terminated, _, _ = env._step_impl(
+            env_state, actions
+        )
+        next_obs = env.state_to_observation_func(env_state1.y)
+        replay = _insert_batch(replay, obs, actions, reward, next_obs,
+                               terminated)
+
+        idx = jax.random.randint(
+            skey, (config.batch_size,), 0, jnp.maximum(replay.size, 1)
+        )
+        loss, grads = jax.value_and_grad(td_loss)(
+            qnet, target,
+            replay.obs[idx], replay.action[idx], replay.reward[idx],
+            replay.next_obs[idx], replay.done[idx],
+        )
+        do_learn = step >= config.learn_start
+        updates, opt_state = optimizer.update(grads, opt_state, qnet)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(do_learn, u, jnp.zeros_like(u)), updates
+        )
+        qnet = optax.apply_updates(qnet, updates)
+        target = jax.tree_util.tree_map(
+            lambda t, o: t + config.tau * (o - t), target, qnet
+        )
+        metrics = {"loss": loss, "reward_mean": reward.mean(),
+                   "epsilon": epsilon(step), "q_mean": q.mean()}
+        return qnet, target, opt_state, replay, env_state1, key, metrics
+
+    return train_step, optimizer
+
+
+def dqn_train(env, qnet, config: DQNConfig, num_updates: int, key=None,
+              log_fn=None):
+    """Host convenience loop: returns ``(qnet, metrics_history)``."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    train_step, optimizer = make_dqn_train_step(env, config)
+    opt_state = optimizer.init(qnet)
+    target = qnet
+    key, rkey = jax.random.split(key)
+    env_state, obs0 = env.reset(rkey)
+    replay = init_replay(config, obs0.shape[1:], obs0.dtype)
+    history = []
+    for step in range(num_updates):
+        qnet, target, opt_state, replay, env_state, key, metrics = train_step(
+            qnet, target, opt_state, replay, env_state,
+            jnp.asarray(step), key,
+        )
+        metrics = {k: float(v) for k, v in metrics.items()}
+        history.append(metrics)
+        if log_fn is not None:
+            log_fn(step, metrics)
+    return qnet, history

@@ -1,0 +1,164 @@
+"""Policy/value networks for PDE-control RL.
+
+The reference trains stable-baselines3 ``CnnPolicy`` agents against its gym
+env (``/root/reference/notebooks/test_pde_RL.ipynb`` cells 0-10).  Here the
+networks are plain pytree modules (:func:`pde_opt_tpu.utils.modules.module`)
+built for the batched on-device envs: circular (torus) convolutions with
+stride-2 downsampling — periodic boundary conditions are part of the
+physics, so the feature extractor should respect them — followed by dense
+heads.  Everything is batch-transparent and jit/vmap/shard_map-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.modules import module
+
+__all__ = ["Linear", "MLP", "ConvTorso", "ActorCriticConv", "QNetConv"]
+
+
+def _linear_init(key, out_f, in_f):
+    wkey, bkey = jax.random.split(key)
+    lim = 1.0 / in_f**0.5
+    w = jax.random.uniform(wkey, (out_f, in_f), minval=-lim, maxval=lim)
+    b = jax.random.uniform(bkey, (out_f,), minval=-lim, maxval=lim)
+    return w, b
+
+
+@module(data_fields=("w", "b"), static_fields=())
+class Linear:
+    """Dense layer: ``(..., in) -> (..., out)``."""
+
+    def __init__(self, in_features: int, out_features: int, *, key):
+        self.w, self.b = _linear_init(key, out_features, in_features)
+
+    def __call__(self, x):
+        return x @ self.w.T + self.b
+
+
+@module(data_fields=("layers",), static_fields=("act",))
+class MLP:
+    def __init__(self, sizes: Sequence[int], act=jax.nn.tanh, *, key):
+        keys = jax.random.split(key, len(sizes) - 1)
+        self.layers = tuple(
+            Linear(a, b, key=k) for a, b, k in zip(sizes[:-1], sizes[1:], keys)
+        )
+        self.act = act
+
+    def __call__(self, x):
+        for layer in self.layers[:-1]:
+            x = self.act(layer(x))
+        return self.layers[-1](x)
+
+
+def conv2d_circular_strided(x, w, b=None, stride: int = 2):
+    """Circularly padded conv with stride (downsampling torso block).
+
+    Args: x (..., C_in, H, W); w (C_out, C_in, k, k) with odd k.
+    """
+    *batch, c, h, wd = x.shape
+    xb = x.reshape((-1, c, h, wd)).astype(w.dtype)
+    p = w.shape[-1] // 2
+    xb = jnp.pad(xb, ((0, 0), (0, 0), (p, p), (p, p)), mode="wrap")
+    out = lax.conv_general_dilated(
+        xb, w, window_strides=(stride, stride), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    if b is not None:
+        out = out + b[None, :, None, None]
+    return out.reshape((*batch,) + out.shape[1:])
+
+
+def _conv_init(key, out_c, in_c, k):
+    wkey, bkey = jax.random.split(key)
+    lim = 1.0 / (in_c * k * k) ** 0.5
+    w = jax.random.uniform(wkey, (out_c, in_c, k, k), minval=-lim, maxval=lim)
+    b = jax.random.uniform(bkey, (out_c,), minval=-lim, maxval=lim)
+    return w, b
+
+
+@module(
+    data_fields=("conv_w", "conv_b", "head"),
+    static_fields=("channels", "kernel", "act"),
+)
+class ConvTorso:
+    """Stride-2 circular conv stack -> global mean pool -> dense features."""
+
+    def __init__(self, in_channels: int, channels: Sequence[int],
+                 features: int, kernel: int = 3, act=jax.nn.gelu, *, key):
+        keys = jax.random.split(key, len(channels) + 1)
+        conv_w, conv_b = [], []
+        c_prev = in_channels
+        for i, c in enumerate(channels):
+            w, b = _conv_init(keys[i], c, c_prev, kernel)
+            conv_w.append(w)
+            conv_b.append(b)
+            c_prev = c
+        self.conv_w = tuple(conv_w)
+        self.conv_b = tuple(conv_b)
+        self.head = Linear(c_prev, features, key=keys[-1])
+        self.channels = tuple(channels)
+        self.kernel = kernel
+        self.act = act
+
+    def __call__(self, obs):
+        """obs: (..., C, H, W) uint8 or float -> (..., features)."""
+        x = obs.astype(jnp.float32)
+        if obs.dtype == jnp.uint8:
+            x = x / 255.0
+        for w, b in zip(self.conv_w, self.conv_b):
+            x = self.act(conv2d_circular_strided(x, w, b, stride=2))
+        x = jnp.mean(x, axis=(-2, -1))          # global average pool
+        return self.act(self.head(x))
+
+
+@module(
+    data_fields=("torso", "pi_head", "v_head", "log_std"),
+    static_fields=("discrete",),
+)
+class ActorCriticConv:
+    """Shared-torso actor-critic for image-like PDE observations.
+
+    Continuous: ``pi_head`` outputs the Gaussian mean, ``log_std`` is a
+    state-independent learned vector.  Discrete: ``pi_head`` outputs logits
+    and ``log_std`` is unused (kept as an empty array leaf).
+    """
+
+    def __init__(self, action_dim: int, *, in_channels: int = 1,
+                 channels: Sequence[int] = (16, 32), features: int = 64,
+                 discrete: bool = False, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        self.torso = ConvTorso(in_channels, channels, features, key=k1)
+        self.pi_head = Linear(features, action_dim, key=k2)
+        self.v_head = Linear(features, 1, key=k3)
+        self.log_std = (jnp.zeros(()) if discrete
+                        else jnp.full((action_dim,), -0.5))
+        self.discrete = discrete
+
+    def __call__(self, obs):
+        """Returns ``(dist_params, value)``: Gaussian ``(mean, log_std)`` or
+        categorical ``logits``; value ``(...,)``."""
+        feat = self.torso(obs)
+        v = self.v_head(feat)[..., 0]
+        if self.discrete:
+            return self.pi_head(feat), v
+        return (self.pi_head(feat), self.log_std), v
+
+
+@module(data_fields=("torso", "q_head"), static_fields=())
+class QNetConv:
+    """Conv Q-network for discrete-action PDE control (DQN)."""
+
+    def __init__(self, num_actions: int, *, in_channels: int = 1,
+                 channels: Sequence[int] = (16, 32), features: int = 64, key):
+        k1, k2 = jax.random.split(key)
+        self.torso = ConvTorso(in_channels, channels, features, key=k1)
+        self.q_head = Linear(features, num_actions, key=k2)
+
+    def __call__(self, obs):
+        return self.q_head(self.torso(obs))

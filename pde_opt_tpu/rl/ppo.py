@@ -1,0 +1,253 @@
+"""Co-located PPO over batched PDE control envs — fully on-device.
+
+Capability parity with the reference's RL training workflow, which drives
+its gym env with stable-baselines3 PPO on the host
+(``/root/reference/notebooks/test_pde_RL.ipynb`` cells 0-10: ``PPO("CnnPolicy",
+env)``), re-designed for TPU: the rollout (env physics included), GAE,
+minibatched clipped-surrogate updates, and optimizer all compile into ONE
+jitted train step over the batched :class:`~pde_opt_tpu.envs.vector_env.VectorPDEEnv`
+(or its shard_map-wrapped fleet) — the host only reads back scalar metrics.
+
+Standard PPO (Schulman et al., arXiv:1707.06347) with clipped value loss
+and advantage normalization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["PPOConfig", "gae", "make_ppo_train_step", "ppo_train"]
+
+
+@dataclass(frozen=True)
+class PPOConfig:
+    rollout_steps: int = 16
+    epochs: int = 2
+    minibatches: int = 4
+    gamma: float = 0.99
+    lam: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    lr: float = 3e-4
+    max_grad_norm: float = 0.5
+
+
+class Transition(NamedTuple):
+    obs: jax.Array
+    action: jax.Array
+    logp: jax.Array
+    value: jax.Array
+    reward: jax.Array
+    done: jax.Array
+
+
+def gae(rewards, values, dones, last_value, gamma: float, lam: float):
+    """Generalized advantage estimation over a (T, B) rollout.
+
+    ``dones[t]`` marks that the episode ended AT step t (no bootstrap across
+    it).  Returns ``(advantages, returns)`` with ``returns = adv + values``.
+    """
+    def step(carry, x):
+        adv_next, v_next = carry
+        r, v, d = x
+        nonterminal = 1.0 - d.astype(jnp.float32)
+        delta = r + gamma * v_next * nonterminal - v
+        adv = delta + gamma * lam * nonterminal * adv_next
+        return (adv, v), adv
+
+    (_, _), advs = jax.lax.scan(
+        step,
+        (jnp.zeros_like(last_value), last_value),
+        (rewards, values, dones),
+        reverse=True,
+    )
+    return advs, advs + values
+
+
+def _gaussian_sample_logp(key, mean, log_std):
+    std = jnp.exp(log_std)
+    eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+    a = mean + std * eps
+    logp = -0.5 * jnp.sum(
+        ((a - mean) / std) ** 2 + 2.0 * log_std + jnp.log(2.0 * jnp.pi), axis=-1
+    )
+    return a, logp
+
+
+def _gaussian_logp_entropy(mean, log_std, action):
+    std = jnp.exp(log_std)
+    logp = -0.5 * jnp.sum(
+        ((action - mean) / std) ** 2 + 2.0 * log_std + jnp.log(2.0 * jnp.pi),
+        axis=-1,
+    )
+    ent = jnp.sum(log_std + 0.5 * jnp.log(2.0 * jnp.pi * jnp.e)) * jnp.ones(
+        mean.shape[:-1]
+    )
+    return logp, ent
+
+
+def _categorical_sample_logp(key, logits):
+    a = jax.random.categorical(key, logits, axis=-1)
+    logp = jnp.take_along_axis(
+        jax.nn.log_softmax(logits), a[..., None], axis=-1
+    )[..., 0]
+    return a, logp
+
+
+def _categorical_logp_entropy(logits, action):
+    logp_all = jax.nn.log_softmax(logits)
+    logp = jnp.take_along_axis(logp_all, action[..., None], axis=-1)[..., 0]
+    ent = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
+    return logp, ent
+
+
+def make_ppo_train_step(env, config: PPOConfig, optimizer=None):
+    """Build ``train_step(params, opt_state, env_state, key)`` (jitted).
+
+    ``env`` is a :class:`VectorPDEEnv` (continuous or discrete actions); the
+    agent is an :class:`~pde_opt_tpu.rl.nets.ActorCriticConv`-style pytree
+    whose ``__call__(obs)`` returns ``(dist_params, value)``.
+
+    Returns ``(train_step, optimizer)``; metrics include mean reward, losses,
+    entropy, and the fraction of clipped ratios.
+    """
+    discrete = env.action_type == "discrete"
+    if optimizer is None:
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.lr),
+        )
+
+    def policy_step(params, obs, key):
+        dist, value = params(obs)
+        if discrete:
+            a, logp = _categorical_sample_logp(key, dist)
+        else:
+            a, logp = _gaussian_sample_logp(key, *dist)
+        return a, logp, value
+
+    def rollout(params, env_state, key):
+        def body(carry, _):
+            st, k = carry
+            k, ak = jax.random.split(k)
+            obs = env.state_to_observation_func(st.y)
+            a, logp, v = policy_step(params, obs, ak)
+            st1, _, reward, terminated, _, _ = env._step_impl(st, a)
+            tr = Transition(obs, a, logp, v, reward, terminated)
+            return (st1, k), tr
+
+        (env_state, _), traj = jax.lax.scan(
+            body, (env_state, key), None, length=config.rollout_steps
+        )
+        last_obs = env.state_to_observation_func(env_state.y)
+        _, last_value = params(last_obs)
+        return env_state, traj, last_value
+
+    def loss_fn(params, batch, adv, ret):
+        dist, value = params(batch.obs)
+        if discrete:
+            logp, ent = _categorical_logp_entropy(dist, batch.action)
+        else:
+            logp, ent = _gaussian_logp_entropy(*dist, batch.action)
+        ratio = jnp.exp(logp - batch.logp)
+        clipped = jnp.clip(ratio, 1.0 - config.clip_eps, 1.0 + config.clip_eps)
+        pg_loss = -jnp.mean(jnp.minimum(ratio * adv, clipped * adv))
+        v_clip = batch.value + jnp.clip(
+            value - batch.value, -config.clip_eps, config.clip_eps
+        )
+        v_loss = 0.5 * jnp.mean(
+            jnp.maximum((value - ret) ** 2, (v_clip - ret) ** 2)
+        )
+        ent_mean = jnp.mean(ent)
+        total = pg_loss + config.vf_coef * v_loss - config.ent_coef * ent_mean
+        frac_clipped = jnp.mean(
+            (jnp.abs(ratio - 1.0) > config.clip_eps).astype(jnp.float32)
+        )
+        return total, (pg_loss, v_loss, ent_mean, frac_clipped)
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def train_step(params, opt_state, env_state, key):
+        key, rkey, pkey = jax.random.split(key, 3)
+        env_state, traj, last_value = rollout(params, env_state, rkey)
+        adv, ret = gae(
+            traj.reward, traj.value, traj.done, last_value,
+            config.gamma, config.lam,
+        )
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+        # flatten (T, B, ...) -> (T*B, ...)
+        T = config.rollout_steps
+        B = traj.reward.shape[1]
+        N = T * B
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((N,) + x.shape[2:]), traj
+        )
+        adv_f, ret_f = adv.reshape(N), ret.reshape(N)
+
+        mb = N // config.minibatches
+
+        def epoch(carry, ekey):
+            params, opt_state = carry
+            perm = jax.random.permutation(ekey, N)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                take = lambda x: jnp.take(x, idx, axis=0)
+                batch = jax.tree_util.tree_map(take, flat)
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, batch, take(adv_f), take(ret_f))
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, *aux)
+
+            idxs = perm[: mb * config.minibatches].reshape(
+                config.minibatches, mb
+            )
+            (params, opt_state), stats = jax.lax.scan(
+                minibatch, (params, opt_state), idxs
+            )
+            return (params, opt_state), stats
+
+        ekeys = jax.random.split(pkey, config.epochs)
+        (params, opt_state), stats = jax.lax.scan(
+            epoch, (params, opt_state), ekeys
+        )
+        loss, pg, vl, ent, fc = (s.mean() for s in stats)
+        metrics = {
+            "reward_mean": traj.reward.mean(),
+            "loss": loss, "pg_loss": pg, "v_loss": vl,
+            "entropy": ent, "clip_frac": fc,
+            "value_mean": traj.value.mean(),
+        }
+        return params, opt_state, env_state, key, metrics
+
+    return train_step, optimizer
+
+
+def ppo_train(env, params, config: PPOConfig, num_updates: int,
+              key=None, log_fn: Callable = None):
+    """Host convenience loop: returns ``(params, metrics_history)``."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    train_step, optimizer = make_ppo_train_step(env, config)
+    opt_state = optimizer.init(params)
+    key, rkey = jax.random.split(key)
+    env_state, _ = env.reset(rkey)
+    history = []
+    for update in range(num_updates):
+        params, opt_state, env_state, key, metrics = train_step(
+            params, opt_state, env_state, key
+        )
+        metrics = {k: float(v) for k, v in metrics.items()}
+        history.append(metrics)
+        if log_fn is not None:
+            log_fn(update, metrics)
+    return params, history
