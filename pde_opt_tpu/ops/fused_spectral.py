@@ -111,6 +111,7 @@ def make_ch_sif_fused_macro(
     block_envs: Optional[int] = None,
     interpret: Optional[bool] = None,
     mats_dtype=jnp.bfloat16,
+    half_spectrum: Optional[bool] = None,
 ):
     """Build ``macro(u, kappa) -> u1`` advancing ``n_steps`` fused substeps.
 
@@ -127,6 +128,11 @@ def make_ch_sif_fused_macro(
             measured optimum 16-32 at 64x64 on v5e).
         interpret: force interpret mode (default: on for non-TPU backends).
         mats_dtype: matmul operand dtype (bf16 default; f32 for testing).
+        half_spectrum: exploit the conjugate symmetry of real fields by
+            keeping only kw in [0, W/2] (rfft semantics; exact in exact
+            arithmetic).  Shrinks the spectral arrays' kw axis from W rows
+            to ceil8(W/2+1), cutting stages B/C/D and the combine VPU work
+            ~0.6x.  Default: on when W is even.
 
     Returns a function taking ``u`` of shape (..., H, W) (leading axes are
     env batch) and ``kappa`` broadcastable to the batch, returning the
@@ -135,24 +141,54 @@ def make_ch_sif_fused_macro(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    if half_spectrum is None:
+        half_spectrum = W % 2 == 0
+
     lam_h, lam_w = _fd_lap_symbols(H, W, hx, hy)
-    # mid-layout (kw, kh), tiled twice along lanes for the packed arrays
     lam_mid = lam_w[:, None] + lam_h[None, :]                       # (W, H)
-    lamP_np = np.concatenate([lam_mid, lam_mid], axis=-1)           # (W, 2H)
-    lam2P_np = np.concatenate([lam_mid**2, lam_mid**2], axis=-1)
 
     (Wr_w, Wi_w), (Vr_w, Vi_w) = _dft_mats(W)
     (Wr_h, Wi_h), (Vr_h, Vi_h) = _dft_mats(H)
-    # Stage A (real fwd along w): (bb*H, W) @ (W, 2W) -> [Re | Im]
-    FW_np = np.concatenate([Wr_w, Wi_w], axis=1)                    # (W, 2W)
+
+    if half_spectrum:
+        # Real input: keep kw in [0, W/2]; rows beyond W2 are zero padding
+        # to an 8-aligned sublane count Wp.  The inverse along kw doubles
+        # the weight of the interior (conjugate-paired) frequencies.
+        W2 = W // 2 + 1
+        Wp = -(-W2 // 8) * 8
+        c_k = np.full((W2,), 2.0)
+        c_k[0] = 1.0
+        c_k[-1] = 1.0
+        pad = Wp - W2
+
+        def pad_rows(m):
+            return np.pad(m, ((0, pad), (0, 0)))
+
+        def pad_cols(m):
+            return np.pad(m, ((0, 0), (0, pad)))
+
+        FW_np = np.concatenate(
+            [pad_cols(Wr_w[:, :W2]), pad_cols(Wi_w[:, :W2])], axis=1
+        )                                                           # (W, 2Wp)
+        IW_np = pad_rows(np.concatenate(
+            [c_k[:, None] * Vr_w[:W2, :], c_k[:, None] * Vi_w[:W2, :]], axis=1
+        ))                                                          # (Wp, 2W)
+        lam_k = np.pad(lam_mid[:W2], ((0, pad), (0, 0)))            # (Wp, H)
+    else:
+        Wp = W
+        FW_np = np.concatenate([Wr_w, Wi_w], axis=1)                # (W, 2W)
+        IW_np = np.concatenate([Vr_w, Vi_w], axis=1)                # (W, 2W)
+        lam_k = lam_mid
+
+    # mid-layout (kw-block, kh), tiled twice along lanes for packed arrays
+    lamP_np = np.concatenate([lam_k, lam_k], axis=-1)               # (Wp, 2H)
+    lam2P_np = np.concatenate([lam_k**2, lam_k**2], axis=-1)
     # Stage B (complex fwd along h): mid-contraction over h of the
-    # (bb, H, 2W) stage-A output with (H, 2H); parts recombined by slices.
+    # (bb, H, 2Wp) stage-A output with (H, 2H); parts recombined by slices.
     FH_np = np.concatenate([Wr_h, Wi_h], axis=1)                    # (H, 2H)
     # Stage C (complex inv along kh, packed K=2H):
     # [R | I] @ [[Vr, Vi], [-Vi, Vr]] -> [C_R | C_I]
     IH_np = np.block([[Vr_h, Vi_h], [-Vi_h, Vr_h]])                 # (2H, 2H)
-    # Stage D (real-part inv along kw): mid-contraction over kw with (W, 2W).
-    IW_np = np.concatenate([Vr_w, Vi_w], axis=1)                    # (W, 2W)
 
     A_dt = float(A) * float(dt)
     dt_f = float(dt)
@@ -179,29 +215,30 @@ def make_ch_sif_fused_macro(
         fh = fh_ref[:]
         ih = ih_ref[:]
         iw = iw_ref[:]
-        lamP = lamP_ref[:]                              # (W, 2H) f32
+        lamP = lamP_ref[:]                              # (Wp, 2H) f32
         lam2P = lam2P_ref[:]
 
         # Per-macro-step precomputes: the increment (with dt folded in) is
         #   incr_dt = cm * m_hat - cu * u_hat
         # with cm = dt*lam/(1+A*dt*kappa*lam^2), cu = dt*kappa*lam^2*(same).
-        denomP = 1.0 / (1.0 + A_dt * (kap * lam2P[None]))  # (bb, W, 2H)
+        # (Zero lam rows in half-spectrum padding keep pad rows zero.)
+        denomP = 1.0 / (1.0 + A_dt * (kap * lam2P[None]))  # (bb, Wp, 2H)
         cm = (dt_f * lamP)[None] * denomP
         cu = (dt_f * kap) * lam2P[None] * denomP
 
         def fwd2(x):
-            """Real (bb, H, W) -> packed spectrum (bb, W, 2H) mid-layout."""
-            a = dot(x.reshape(bb * H, W).astype(mats), fw)   # (bb*H, 2W)
-            a = a.reshape(bb, H, 2 * W).astype(mats)
-            z = mid_contract(a, fh)                          # (bb, 2W, 2H)
-            hat_r = z[:, 0:W, 0:H] - z[:, W:2 * W, H:2 * H]
-            hat_i = z[:, 0:W, H:2 * H] + z[:, W:2 * W, 0:H]
-            return jnp.concatenate([hat_r, hat_i], axis=-1)  # (bb, W, 2H)
+            """Real (bb, H, W) -> packed spectrum (bb, Wp, 2H) mid-layout."""
+            a = dot(x.reshape(bb * H, W).astype(mats), fw)   # (bb*H, 2Wp)
+            a = a.reshape(bb, H, 2 * Wp).astype(mats)
+            z = mid_contract(a, fh)                          # (bb, 2Wp, 2H)
+            hat_r = z[:, 0:Wp, 0:H] - z[:, Wp:2 * Wp, H:2 * H]
+            hat_i = z[:, 0:Wp, H:2 * H] + z[:, Wp:2 * Wp, 0:H]
+            return jnp.concatenate([hat_r, hat_i], axis=-1)  # (bb, Wp, 2H)
 
         def inv2_real(hatP):
-            """Packed spectrum (bb, W, 2H) -> real field (bb, H, W)."""
-            c = dot(hatP.reshape(bb * W, 2 * H).astype(mats), ih)
-            c = c.reshape(bb, W, 2 * H).astype(mats)
+            """Packed spectrum (bb, Wp, 2H) -> real field (bb, H, W)."""
+            c = dot(hatP.reshape(bb * Wp, 2 * H).astype(mats), ih)
+            c = c.reshape(bb, Wp, 2 * H).astype(mats)
             y = mid_contract(c, iw)                          # (bb, 2H, 2W)
             return y[:, 0:H, 0:W] - y[:, H:2 * H, W:2 * W]   # (bb, H, W)
 

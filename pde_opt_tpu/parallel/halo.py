@@ -25,6 +25,7 @@ __all__ = [
     "sharded_lap_2nd_2d",
     "distributed_fft2",
     "distributed_ifft2",
+    "make_sharded_sif_ch_macro",
 ]
 
 
@@ -84,6 +85,53 @@ def distributed_fft2(u_local, axis_name: str = "space"):
                            concat_axis=a.ndim - 3)
     a = a.reshape(*a.shape[: -3], npp * n_dev, m // n_dev)
     return jnp.fft.fft(a, axis=-2)
+
+
+def make_sharded_sif_ch_macro(mu_fn: Callable, N: int, M: int,
+                              hx: float, hy: float, A: float, dt: float,
+                              n_steps: int, axis_name: str = "space"):
+    """Semi-implicit spectral Cahn-Hilliard macro-step on a row-sharded grid.
+
+    The spatial-decomposition counterpart of the single-chip fused kernel
+    (:func:`pde_opt_tpu.ops.fused_spectral.make_ch_sif_fused_macro`) for
+    grids too large for one device: same per-substep semantics (FD Laplacian
+    symbols, per-instance kappa in the implicit denominator), evaluated with
+    the all-to-all distributed FFT.  Spectral multipliers apply in the
+    transposed (column-block) layout, sliced per shard.
+
+    Returns ``macro(u_local, kappa) -> u_local`` to be called INSIDE
+    ``shard_map`` with the global field's rows sharded over ``axis_name``
+    (``u_local``: (..., N/P, M)).
+    """
+    import numpy as np
+
+    lam_n = (2.0 * np.cos(2.0 * np.pi * np.arange(N) / N) - 2.0) / (hx * hx)
+    lam_m = (2.0 * np.cos(2.0 * np.pi * np.arange(M) / M) - 2.0) / (hy * hy)
+    lam_full = jnp.asarray(lam_n[:, None] + lam_m[None, :])       # (N, M)
+
+    def macro(u_local, kappa):
+        P = jax.lax.axis_size(axis_name)
+        i = jax.lax.axis_index(axis_name)
+        mpp = M // P
+        # Column block of the spectral symbols owned by this shard.
+        lam = jax.lax.dynamic_slice_in_dim(lam_full, i * mpp, mpp, axis=1)
+        lam2 = lam * lam
+        kap = jnp.asarray(kappa)
+        if kap.ndim <= u_local.ndim - 2:
+            kap = kap.reshape(kap.shape + (1, 1))
+        denom = 1.0 / (1.0 + A * dt * kap * lam2)
+
+        def substep(u, _):
+            m_hat = distributed_fft2(mu_fn(u), axis_name)
+            u_hat = distributed_fft2(u, axis_name)
+            incr = denom * (lam * m_hat - kap * lam2 * u_hat)
+            u = u + dt * distributed_ifft2(incr, axis_name).real.astype(u.dtype)
+            return u, None
+
+        u_local, _ = jax.lax.scan(substep, u_local, None, length=n_steps)
+        return u_local
+
+    return macro
 
 
 def distributed_ifft2(f_local, axis_name: str = "space"):

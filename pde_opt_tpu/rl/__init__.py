@@ -8,13 +8,24 @@ advantage estimation, and updates in one device program.  The pathwise
 (differentiable-rollout) alternative lives in ``examples/rl_train_reinforce.py``.
 """
 
-from .nets import ActorCriticConv, ConvTorso, Linear, MLP, QNetConv
+from .nets import (
+    ActorCriticConv,
+    ConvTorso,
+    DeterministicActorConv,
+    Linear,
+    MLP,
+    QCriticConv,
+    QNetConv,
+)
 from .ppo import PPOConfig, gae, make_ppo_train_step, ppo_train
 from .dqn import DQNConfig, ReplayState, init_replay, make_dqn_train_step, dqn_train
+from .ddpg import DDPGConfig, DDPGState, make_ddpg_train_step, ddpg_train
 
 __all__ = [
-    "ActorCriticConv", "ConvTorso", "Linear", "MLP", "QNetConv",
+    "ActorCriticConv", "ConvTorso", "DeterministicActorConv", "Linear",
+    "MLP", "QCriticConv", "QNetConv",
     "PPOConfig", "gae", "make_ppo_train_step", "ppo_train",
     "DQNConfig", "ReplayState", "init_replay", "make_dqn_train_step",
     "dqn_train",
+    "DDPGConfig", "DDPGState", "make_ddpg_train_step", "ddpg_train",
 ]

@@ -48,11 +48,14 @@ class ReplayState(NamedTuple):
     size: jax.Array       # ()
 
 
-def init_replay(config: DQNConfig, obs_shape, obs_dtype=jnp.uint8):
+def init_replay(config, obs_shape, obs_dtype=jnp.uint8,
+                action_shape=(), action_dtype=jnp.int32):
+    """Device-resident ring replay; shared by DQN (int actions) and DDPG
+    (float action vectors)."""
     cap = config.capacity
     return ReplayState(
         obs=jnp.zeros((cap, *obs_shape), obs_dtype),
-        action=jnp.zeros((cap,), jnp.int32),
+        action=jnp.zeros((cap, *action_shape), action_dtype),
         reward=jnp.zeros((cap,), jnp.float32),
         next_obs=jnp.zeros((cap, *obs_shape), obs_dtype),
         done=jnp.zeros((cap,), bool),
@@ -69,7 +72,7 @@ def _insert_batch(replay: ReplayState, obs, action, reward, next_obs, done):
     idx = (replay.ptr + jnp.arange(B)) % cap
     return replay._replace(
         obs=replay.obs.at[idx].set(obs),
-        action=replay.action.at[idx].set(action.astype(jnp.int32)),
+        action=replay.action.at[idx].set(action.astype(replay.action.dtype)),
         reward=replay.reward.at[idx].set(reward.astype(jnp.float32)),
         next_obs=replay.next_obs.at[idx].set(next_obs),
         done=replay.done.at[idx].set(done),

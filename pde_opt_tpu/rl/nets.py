@@ -19,7 +19,8 @@ from jax import lax
 
 from ..utils.modules import module
 
-__all__ = ["Linear", "MLP", "ConvTorso", "ActorCriticConv", "QNetConv"]
+__all__ = ["Linear", "MLP", "ConvTorso", "ActorCriticConv", "QNetConv",
+           "DeterministicActorConv", "QCriticConv"]
 
 
 def _linear_init(key, out_f, in_f):
@@ -43,6 +44,8 @@ class Linear:
 
 @module(data_fields=("layers",), static_fields=("act",))
 class MLP:
+    """Dense stack with activation between layers (linear final layer)."""
+
     def __init__(self, sizes: Sequence[int], act=jax.nn.tanh, *, key):
         keys = jax.random.split(key, len(sizes) - 1)
         self.layers = tuple(
@@ -148,6 +151,38 @@ class ActorCriticConv:
         if self.discrete:
             return self.pi_head(feat), v
         return (self.pi_head(feat), self.log_std), v
+
+
+@module(data_fields=("torso", "a_head", "scale"), static_fields=())
+class DeterministicActorConv:
+    """Deterministic policy for DDPG: ``obs -> scale * tanh(head(torso))``."""
+
+    def __init__(self, action_dim: int, *, in_channels: int = 1,
+                 channels: Sequence[int] = (16, 32), features: int = 64,
+                 action_scale: float = 1.0, key):
+        k1, k2 = jax.random.split(key)
+        self.torso = ConvTorso(in_channels, channels, features, key=k1)
+        self.a_head = Linear(features, action_dim, key=k2)
+        self.scale = jnp.asarray(action_scale, jnp.float32)
+
+    def __call__(self, obs):
+        return self.scale * jnp.tanh(self.a_head(self.torso(obs)))
+
+
+@module(data_fields=("torso", "a_proj", "q_mlp"), static_fields=())
+class QCriticConv:
+    """State-action critic for DDPG: conv state features + action -> Q."""
+
+    def __init__(self, action_dim: int, *, in_channels: int = 1,
+                 channels: Sequence[int] = (16, 32), features: int = 64, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        self.torso = ConvTorso(in_channels, channels, features, key=k1)
+        self.a_proj = Linear(action_dim, features, key=k2)
+        self.q_mlp = MLP((features, features, 1), act=jax.nn.gelu, key=k3)
+
+    def __call__(self, obs, action):
+        feat = self.torso(obs) + self.a_proj(action.astype(jnp.float32))
+        return self.q_mlp(feat)[..., 0]
 
 
 @module(data_fields=("torso", "q_head"), static_fields=())

@@ -108,3 +108,31 @@ def test_distributed_fft_roundtrip_and_spectral_multiply():
     got = np.asarray(f(u, jnp.asarray(symbol)))
     want = np.real(np.fft.ifftn(symbol * np.fft.fftn(np.asarray(u))))
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_sharded_sif_ch_macro_matches_single_device():
+    from pde_opt_tpu.ops.fused_spectral import ch_sif_macro_reference
+    from pde_opt_tpu.parallel.halo import make_sharded_sif_ch_macro
+
+    mesh = _mesh()
+    P_dev = len(jax.devices())
+    N = M = 8 * P_dev
+    hx, hy = 0.01, 0.015
+    A, dt, n = 1.0, 1e-3, 3
+    mu = lambda c: c**3 - c
+    kappa = 0.004
+
+    u = 0.5 + 0.05 * jax.random.normal(jax.random.PRNGKey(0), (N, M))
+    u = u.astype(jnp.float64)
+
+    macro = make_sharded_sif_ch_macro(mu, N, M, hx, hy, A, dt, n)
+    sharded = jax.jit(
+        shard_map(
+            lambda ul: macro(ul, kappa),
+            mesh=mesh, in_specs=P("space", None), out_specs=P("space", None),
+        )
+    )
+    out = sharded(u)
+    expect = ch_sif_macro_reference(mu, hx, hy, A, dt, n)(u, kappa)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-10, atol=1e-10)

@@ -132,6 +132,41 @@ def test_dqn_trains_on_discrete_env():
     assert delta > 0.0
 
 
+def test_ddpg_trains_on_continuous_env():
+    from pde_opt_tpu.rl import (
+        DDPGConfig,
+        DeterministicActorConv,
+        QCriticConv,
+        ddpg_train,
+    )
+
+    env = make_cahn_hilliard_control_env(
+        num_envs=6, grid_size=16, substeps=2, vectorized_control=True,
+    )
+    actor = DeterministicActorConv(action_dim=1, channels=(4,), features=16,
+                                   key=jax.random.PRNGKey(0))
+    critic = QCriticConv(action_dim=1, channels=(4,), features=16,
+                         key=jax.random.PRNGKey(1))
+    cfg = DDPGConfig(capacity=48, batch_size=12)
+    agent, history = ddpg_train(env, actor, critic, cfg, num_updates=4,
+                                key=jax.random.PRNGKey(2))
+    assert all(np.isfinite(m["critic_loss"]) for m in history)
+    assert all(np.isfinite(m["actor_loss"]) for m in history)
+    delta = sum(
+        float(jnp.sum(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(agent.actor),
+                        jax.tree_util.tree_leaves(actor))
+    )
+    assert delta > 0.0
+    # target nets trail the online nets (Polyak, tau < 1)
+    tdelta = sum(
+        float(jnp.sum(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(agent.target_actor),
+                        jax.tree_util.tree_leaves(agent.actor))
+    )
+    assert tdelta > 0.0
+
+
 def test_replay_ring_wraparound():
     cfg = DQNConfig(capacity=8, batch_size=4)
     replay = init_replay(cfg, (1, 4, 4))
