@@ -55,6 +55,13 @@ class AllenCahn2DPeriodic(BaseEquation, _Spectral2D):
 
     fft = None
     ifft = None
+    fourier_symbol = None
+    # Class-level placeholders so solver-compat checks (which inspect the
+    # class) see the attrs the fused stepper pulls off instances.
+    kappa = None
+    mu = None
+    R = None
+    domain = None
 
     def __init__(self, domain: Domain, kappa, mu: Callable, R: Callable,
                  derivs: str = "fd", use_rfft: bool = True):

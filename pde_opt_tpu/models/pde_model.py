@@ -95,6 +95,10 @@ class PDEModel:
         equation, solver = self._build(parameters, solver_parameters)
         rhs = equation.rhs
 
+        # The rollout always runs under jit (nested jit is fine when solve()
+        # is itself being traced): some accelerator runtimes (the axon TPU
+        # relay) cannot execute parts of the op-by-op eager path, and the
+        # compiled rollout is what every hot caller wants anyway.
         if stepsize_controller is None or isinstance(stepsize_controller, ConstantStepSize):
             ts_np = np.asarray(ts, dtype=np.float64)
             n_total = int(np.sum(np.maximum(1, np.round(np.diff(ts_np) / dt0))))
@@ -103,14 +107,20 @@ class PDEModel:
                     f"rollout needs {n_total} steps > max_steps={max_steps}; "
                     "raise max_steps or dt0"
                 )
-            return integrate(solver, rhs, y0, ts_np, dt0, adjoint=adjoint)
-        if isinstance(stepsize_controller, PIDController):
-            return integrate_adaptive(
-                solver, rhs, y0, jnp.asarray(ts), dt0,
-                rtol=stepsize_controller.rtol,
-                atol=stepsize_controller.atol,
-                max_steps=max_steps,
+            rollout = jax.jit(
+                lambda y: integrate(solver, rhs, y, ts_np, dt0, adjoint=adjoint)
             )
+            return rollout(y0)
+        if isinstance(stepsize_controller, PIDController):
+            rollout = jax.jit(
+                lambda y: integrate_adaptive(
+                    solver, rhs, y, jnp.asarray(ts), dt0,
+                    rtol=stepsize_controller.rtol,
+                    atol=stepsize_controller.atol,
+                    max_steps=max_steps,
+                )
+            )
+            return rollout(y0)
         raise ValueError(f"unknown stepsize_controller: {stepsize_controller!r}")
 
     # ------------------------------------------------------------------
@@ -251,11 +261,11 @@ class PDEModel:
         if method == "least_squares":
             flat0, unravel = ptree.ravel_params(opt_parameters)
 
-            def residuals_flat(theta):
+            def residuals_flat(theta, y0s_, values_):
                 full = unravel(theta)
                 res, reg = self.residuals(
                     {**full, **other_parameters},
-                    (y0s, values),
+                    (y0s_, values_),
                     solver_parameters,
                     ts,
                     weights,
@@ -265,20 +275,22 @@ class PDEModel:
                 )
                 return (res, reg)
 
+            # Data enters as jit *arguments* (not closures) so trajectory
+            # arrays are never baked into the executable as constants.
             sol = least_squares_lm(
-                residuals_flat, flat0, max_steps=max_steps,
-                rtol=1e-8, atol=1e-8, verbose=verbose,
+                residuals_flat, flat0, args=(y0s, values),
+                max_steps=max_steps, rtol=1e-8, atol=1e-8, verbose=verbose,
             )
             res = unravel(sol.params)
             return {**res, **other_parameters}
 
         if method in ("mse", "adam"):
 
-            def loss_fn(_opt_params):
+            def loss_fn(_opt_params, y0s_, values_):
                 full = ptree.combine(_opt_params, opt_static)
                 return self.mse(
                     {**full, **other_parameters},
-                    (y0s, values),
+                    (y0s_, values_),
                     solver_parameters,
                     ts,
                     weights,
@@ -289,13 +301,14 @@ class PDEModel:
 
             if method == "mse":
                 sol = minimize_lbfgs(
-                    loss_fn, opt_params, max_steps=max_steps,
-                    rtol=1e-8, atol=1e-8, verbose=verbose,
+                    loss_fn, opt_params, args=(y0s, values),
+                    max_steps=max_steps, rtol=1e-8, atol=1e-8, verbose=verbose,
                 )
             else:
                 sol = minimize_adam(
-                    loss_fn, opt_params, max_steps=max_steps,
-                    learning_rate=learning_rate, verbose=verbose,
+                    loss_fn, opt_params, args=(y0s, values),
+                    max_steps=max_steps, learning_rate=learning_rate,
+                    verbose=verbose,
                 )
             res = ptree.combine(sol.params, opt_static)
             return {**res, **other_parameters}
@@ -328,11 +341,11 @@ class PDEModel:
         opt_params, opt_static = ptree.partition(opt_parameters)
         opt_params = ptree.as_arrays(opt_params)
 
-        def objective(_opt_params):
+        def objective(_opt_params, y0_):
             full = ptree.combine(_opt_params, opt_static)
             all_params = {**full, **other_parameters}
             solution = self.solve(
-                all_params, y0, ts, solver_parameters,
+                all_params, y0_, ts, solver_parameters,
                 adjoint="checkpoint", dt0=dt0,
             )
             return objective_function(solution) + self.regularization(
@@ -341,12 +354,12 @@ class PDEModel:
 
         if method == "lbfgs":
             sol = minimize_lbfgs(
-                objective, opt_params, max_steps=max_steps,
+                objective, opt_params, args=(y0,), max_steps=max_steps,
                 rtol=1e-8, atol=1e-8, verbose=verbose,
             )
         elif method == "adam":
             sol = minimize_adam(
-                objective, opt_params, max_steps=max_steps,
+                objective, opt_params, args=(y0,), max_steps=max_steps,
                 learning_rate=learning_rate, verbose=verbose,
             )
         else:

@@ -8,6 +8,7 @@ from .steppers import (
     Tsit5,
     SemiImplicitFourierSpectral,
     FusedSemiImplicitSpectral,
+    FusedAllenCahnSpectral,
     StrangSplitting,
     DirectionalSplitting,
     ImplicitEuler,
@@ -24,6 +25,7 @@ __all__ = [
     "Tsit5",
     "SemiImplicitFourierSpectral",
     "FusedSemiImplicitSpectral",
+    "FusedAllenCahnSpectral",
     "StrangSplitting",
     "DirectionalSplitting",
     "ImplicitEuler",

@@ -63,7 +63,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["make_ch_sif_fused_macro", "ch_sif_macro_reference"]
+__all__ = [
+    "make_ch_sif_fused_macro",
+    "ch_sif_macro_reference",
+    "make_ac_sif_fused_macro",
+    "ac_sif_macro_reference",
+]
 
 
 def _fd_lap_symbols(H: int, W: int, hx: float, hy: float):
@@ -320,6 +325,191 @@ def ch_sif_macro_reference(mu_fn, hx, hy, A, dt, n_steps):
             m_hat = jnp.fft.fftn(mu_fn(uu), axes=(-2, -1))
             u_hat = jnp.fft.fftn(uu, axes=(-2, -1))
             incr = denom * (lam * m_hat - kap * lam**2 * u_hat)
+            uu = uu + dt * jnp.fft.ifftn(incr, axes=(-2, -1)).real.astype(uu.dtype)
+            return uu, None
+
+        out, _ = jax.lax.scan(body, u, None, length=n_steps)
+        return out
+
+    return macro
+
+
+def make_ac_sif_fused_macro(
+    mu_fn: Callable,
+    R_fn: Callable,
+    H: int,
+    W: int,
+    hx: float,
+    hy: float,
+    A: float,
+    dt: float,
+    n_steps: int,
+    *,
+    block_envs: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    mats_dtype=jnp.bfloat16,
+    half_spectrum: Optional[bool] = None,
+):
+    """Fused Allen-Cahn semi-implicit macro-step: ``macro(u, kappa) -> u1``.
+
+    Per substep (matching ``AllenCahn2DPeriodic.rhs_fd`` + the semi-implicit
+    update with the FD-consistent symbol ``kappa*(-lam)``):
+
+        lap  = roll-stencil Laplacian of u                     (VPU)
+        g    = -R(u) * (mu(u) - kappa * lap)                   (VPU)
+        u   += dt * F2^{-1}( F2(g) / (1 + A*dt*kappa*(-lam)) ) (4 matmuls)
+
+    The reaction factor makes the update nonlinear in ``u_hat``, so (unlike
+    the Cahn-Hilliard kernel) no spectrum is carried — the Laplacian is
+    evaluated with in-VMEM periodic rolls instead.  Same packed-DFT layout,
+    half-spectrum option, and per-env traced kappa as the CH kernel.
+    """
+    from jax.experimental.pallas import tpu as _pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if half_spectrum is None:
+        half_spectrum = W % 2 == 0
+
+    lam_h, lam_w = _fd_lap_symbols(H, W, hx, hy)
+    lam_mid = lam_w[:, None] + lam_h[None, :]                   # (W, H)
+    (Wr_w, Wi_w), (Vr_w, Vi_w) = _dft_mats(W)
+    (Wr_h, Wi_h), (Vr_h, Vi_h) = _dft_mats(H)
+
+    if half_spectrum:
+        W2 = W // 2 + 1
+        Wp = -(-W2 // 8) * 8
+        c_k = np.full((W2,), 2.0)
+        c_k[0] = 1.0
+        c_k[-1] = 1.0
+        pad = Wp - W2
+        FW_np = np.concatenate(
+            [np.pad(Wr_w[:, :W2], ((0, 0), (0, pad))),
+             np.pad(Wi_w[:, :W2], ((0, 0), (0, pad)))], axis=1)  # (W, 2Wp)
+        IW_np = np.pad(np.concatenate(
+            [c_k[:, None] * Vr_w[:W2, :], c_k[:, None] * Vi_w[:W2, :]],
+            axis=1), ((0, pad), (0, 0)))                         # (Wp, 2W)
+        lam_k = np.pad(lam_mid[:W2], ((0, pad), (0, 0)))         # (Wp, H)
+    else:
+        Wp = W
+        FW_np = np.concatenate([Wr_w, Wi_w], axis=1)
+        IW_np = np.concatenate([Vr_w, Vi_w], axis=1)
+        lam_k = lam_mid
+    negP_np = np.concatenate([-lam_k, -lam_k], axis=-1)          # (Wp, 2H) >= 0
+    FH_np = np.concatenate([Wr_h, Wi_h], axis=1)
+    IH_np = np.block([[Vr_h, Vi_h], [-Vi_h, Vr_h]])
+
+    A_dt = float(A) * float(dt)
+    dt_f = float(dt)
+    inv_hx2 = 1.0 / (hx * hx)
+    inv_hy2 = 1.0 / (hy * hy)
+    mats = mats_dtype
+    prec = jax.lax.Precision.HIGHEST if mats == jnp.float32 else None
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32, precision=prec)
+
+    def mid_contract(x3, m2):
+        return jax.lax.dot_general(
+            x3, m2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    def kernel(u_ref, kap_ref, fw_ref, fh_ref, ih_ref, iw_ref, negP_ref,
+               out_ref):
+        bb = u_ref.shape[0]
+        u = u_ref[:].astype(jnp.float32)
+        kap = kap_ref[:].astype(jnp.float32)                 # (bb, 1, 1)
+        fw, fh, ih, iw = fw_ref[:], fh_ref[:], ih_ref[:], iw_ref[:]
+        negP = negP_ref[:]                                   # (Wp, 2H)
+        denom_dt = dt_f / (1.0 + A_dt * (kap * negP[None]))  # (bb, Wp, 2H)
+
+        def rx(a, s):
+            return _pltpu.roll(a, s % a.shape[1], 1)
+
+        def ry(a, s):
+            return _pltpu.roll(a, s % a.shape[2], 2)
+
+        def fwd2(x):
+            a = dot(x.reshape(bb * H, W).astype(mats), fw)
+            a = a.reshape(bb, H, 2 * Wp).astype(mats)
+            z = mid_contract(a, fh)                          # (bb, 2Wp, 2H)
+            hat_r = z[:, 0:Wp, 0:H] - z[:, Wp:2 * Wp, H:2 * H]
+            hat_i = z[:, 0:Wp, H:2 * H] + z[:, Wp:2 * Wp, 0:H]
+            return jnp.concatenate([hat_r, hat_i], axis=-1)
+
+        def inv2_real(hatP):
+            c = dot(hatP.reshape(bb * Wp, 2 * H).astype(mats), ih)
+            c = c.reshape(bb, Wp, 2 * H).astype(mats)
+            y = mid_contract(c, iw)                          # (bb, 2H, 2W)
+            return y[:, 0:H, 0:W] - y[:, H:2 * H, W:2 * W]
+
+        for _ in range(n_steps):
+            lap = (rx(u, -1) - 2.0 * u + rx(u, 1)) * inv_hx2 + (
+                ry(u, -1) - 2.0 * u + ry(u, 1)
+            ) * inv_hy2
+            g = -R_fn(u) * (mu_fn(u) - kap * lap)
+            u = u + inv2_real(denom_dt * fwd2(g))
+        out_ref[:] = u.astype(out_ref.dtype)
+
+    def macro(state, kappa):
+        *batch, h, w = state.shape
+        if (h, w) != (H, W):
+            raise ValueError(f"state trailing shape {(h, w)} != {(H, W)}")
+        B = math.prod(batch) if batch else 1
+        x = state.reshape(B, H, W)
+        kap = jnp.asarray(kappa, jnp.float32)
+        kap = (jnp.broadcast_to(kap, (B,)).reshape(B, 1, 1)
+               if kap.ndim <= 1 else kap.reshape(B, 1, 1))
+        bb = block_envs or _pick_block(B, H, W)
+        consts = [
+            jnp.asarray(FW_np, mats), jnp.asarray(FH_np, mats),
+            jnp.asarray(IH_np, mats), jnp.asarray(IW_np, mats),
+            jnp.asarray(negP_np, jnp.float32),
+        ]
+        const_specs = [
+            pl.BlockSpec(c.shape, lambda i, _nd=c.ndim: (0,) * _nd,
+                         memory_space=pltpu.VMEM)
+            for c in consts
+        ]
+        out = pl.pallas_call(
+            kernel,
+            grid=(B // bb,),
+            in_specs=[
+                pl.BlockSpec((bb, H, W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, 1, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *const_specs,
+            ],
+            out_specs=pl.BlockSpec((bb, H, W), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, H, W), state.dtype),
+            interpret=interpret,
+        )(x, kap, *consts)
+        return out.reshape(*batch, H, W)
+
+    return macro
+
+
+def ac_sif_macro_reference(mu_fn, R_fn, hx, hy, A, dt, n_steps):
+    """XLA/FFT oracle for :func:`make_ac_sif_fused_macro` (tests)."""
+
+    def macro(u, kappa):
+        H, W = u.shape[-2:]
+        lam_h, lam_w = _fd_lap_symbols(H, W, hx, hy)
+        lam = jnp.asarray(lam_h[:, None] + lam_w[None, :])
+        kap = jnp.asarray(kappa)
+        if kap.ndim <= 1:
+            kap = jnp.broadcast_to(kap, u.shape[:-2]).reshape(
+                u.shape[:-2] + (1, 1)
+            )
+        denom = 1.0 / (1.0 + A * dt * kap * (-lam))
+
+        def body(uu, _):
+            lap = jnp.fft.ifftn(
+                lam * jnp.fft.fftn(uu, axes=(-2, -1)), axes=(-2, -1)
+            ).real.astype(uu.dtype)
+            g = -R_fn(uu) * (mu_fn(uu) - kap * lap)
+            incr = denom * jnp.fft.fftn(g, axes=(-2, -1))
             uu = uu + dt * jnp.fft.ifftn(incr, axes=(-2, -1)).real.astype(uu.dtype)
             return uu, None
 

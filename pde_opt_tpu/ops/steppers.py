@@ -32,6 +32,7 @@ __all__ = [
     "SemiImplicitFourierSpectral",
     "SemiImplicitDenseSolve",
     "FusedSemiImplicitSpectral",
+    "FusedAllenCahnSpectral",
     "StrangSplitting",
     "DirectionalSplitting",
     "ImplicitEuler",
@@ -326,6 +327,57 @@ class FusedSemiImplicitSpectral(AbstractStepper):
                 "FusedSemiImplicitSpectral requires trace-time concrete dt"
             )
         return self._macro(dt, n_steps)(y0, self.kappa)
+
+    def step(self, rhs, y, t, dt):
+        y1 = self.evolve(rhs, y, t, dt, 1)
+        return y1, None
+
+
+class FusedAllenCahnSpectral(AbstractStepper):
+    """Whole-macro-step fused Pallas semi-implicit stepper for Allen-Cahn.
+
+    The Allen-Cahn counterpart of :class:`FusedSemiImplicitSpectral`: all
+    substeps of an :func:`~pde_opt_tpu.ops.integrate.evolve` call run in one
+    Pallas kernel (roll-stencil Laplacian + packed-DFT semi-implicit solve
+    with the env's per-env kappa; see
+    :func:`pde_opt_tpu.ops.fused_spectral.make_ac_sif_fused_macro`).
+    ``mu`` and ``R`` must be elementwise.  Batched paths only; not
+    differentiable.
+    """
+
+    required_equation_attrs = ("kappa", "mu", "R", "domain")
+    order = 1
+
+    def __init__(self, kappa, mu, R, domain, A: float = 1.0,
+                 block_envs=None, mats_dtype=None, interpret=None):
+        self.kappa = kappa
+        self.mu = mu
+        self.R = R
+        self.domain = domain
+        self.A = float(A)
+        self.block_envs = block_envs
+        self.mats_dtype = mats_dtype
+        self.interpret = interpret
+
+    def evolve(self, rhs, y0, t0, dt, n_steps, unroll=1):
+        del rhs, t0, unroll
+        if isinstance(dt, jax.core.Tracer):
+            raise TypeError(
+                "FusedAllenCahnSpectral requires trace-time concrete dt"
+            )
+        from .fused_spectral import make_ac_sif_fused_macro
+
+        H, W = self.domain.points
+        hx, hy = self.domain.dx
+        kwargs = {}
+        if self.mats_dtype is not None:
+            kwargs["mats_dtype"] = self.mats_dtype
+        macro = make_ac_sif_fused_macro(
+            self.mu, self.R, H, W, float(hx), float(hy), self.A, float(dt),
+            int(n_steps), block_envs=self.block_envs,
+            interpret=self.interpret, **kwargs,
+        )
+        return macro(y0, self.kappa)
 
     def step(self, rhs, y, t, dt):
         y1 = self.evolve(rhs, y, t, dt, 1)

@@ -36,6 +36,7 @@ class LMResult(NamedTuple):
 def least_squares_lm(
     residual_fn: Callable,
     theta0,
+    args=(),
     max_steps: int = 100,
     rtol: float = 1e-8,
     atol: float = 1e-8,
@@ -51,18 +52,27 @@ def least_squares_lm(
     residual vector (matching optimistix semantics, where the reference's
     ``(batch_residuals, reg)`` tuple contributes the scalar reg as one more
     residual element).
+
+    ``args``: extra pytree arguments forwarded as ``residual_fn(theta,
+    *args)`` and threaded through the jitted inner functions as real
+    arguments.  Pass device-array data (trajectories, targets) here rather
+    than closing over it — closure arrays get baked into the executable as
+    constants, which both bloats compilation and requires a device->host
+    fetch at trace time (unimplemented for large arrays on relay-backed
+    TPU runtimes).
     """
     theta0 = jnp.asarray(theta0)
+    args = tuple(args)
 
-    def flat_residual(theta):
-        res = residual_fn(theta)
+    def flat_residual(theta, *a):
+        res = residual_fn(theta, *a)
         leaves = jax.tree_util.tree_leaves(res)
         return jnp.concatenate([jnp.ravel(l) for l in leaves])
 
     @jax.jit
-    def compute_jac(theta):
-        r = flat_residual(theta)
-        J = jax.jacfwd(flat_residual)(theta)
+    def compute_jac(theta, *a):
+        r = flat_residual(theta, *a)
+        J = jax.jacfwd(flat_residual)(theta, *a)
         return r, J
 
     @jax.jit
@@ -76,22 +86,22 @@ def least_squares_lm(
         return theta - delta
 
     @jax.jit
-    def loss_of(theta):
-        r = flat_residual(theta)
+    def loss_of(theta, *a):
+        r = flat_residual(theta, *a)
         return 0.5 * jnp.sum(r**2)
 
     theta = theta0
     lam = lambda0
-    loss = float(loss_of(theta))
+    loss = float(loss_of(theta, *args))
     converged = False
     step = 0
     for step in range(1, max_steps + 1):
-        r, J = compute_jac(theta)
+        r, J = compute_jac(theta, *args)
         accepted = False
         # Escalate damping until the step shrinks into the trust region.
         for _ in range(max_damping_tries):
             theta_new = solve_step(theta, r, J, lam)
-            loss_new = float(loss_of(theta_new))
+            loss_new = float(loss_of(theta_new, *args))
             if jnp.isfinite(loss_new) and loss_new < loss:
                 accepted = True
                 break

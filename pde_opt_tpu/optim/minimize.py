@@ -28,22 +28,29 @@ class MinimizeResult(NamedTuple):
 def minimize_lbfgs(
     fn: Callable,
     params,
+    args=(),
     max_steps: int = 100,
     rtol: float = 1e-8,
     atol: float = 1e-8,
     memory_size: int = 10,
     verbose: bool = False,
 ):
-    """Minimize ``fn(params)`` with L-BFGS (+ zoom linesearch)."""
+    """Minimize ``fn(params, *args)`` with L-BFGS (+ zoom linesearch).
+
+    ``args`` are threaded through the jitted step as real arguments (see
+    :func:`pde_opt_tpu.optim.lm.least_squares_lm` for why closures over
+    device data are avoided).
+    """
+    args = tuple(args)
     opt = optax.lbfgs(memory_size=memory_size)
     state = opt.init(params)
-    value_and_grad = optax.value_and_grad_from_state(fn)
 
     @jax.jit
-    def step_fn(params, state):
-        value, grad = value_and_grad(params, state=state)
+    def step_fn(params, state, *a):
+        bound = lambda q: fn(q, *a)
+        value, grad = optax.value_and_grad_from_state(bound)(params, state=state)
         updates, state = opt.update(
-            grad, state, params, value=value, grad=grad, value_fn=fn
+            grad, state, params, value=value, grad=grad, value_fn=bound
         )
         params = optax.apply_updates(params, updates)
         return params, state, value, optax.global_norm(grad)
@@ -53,7 +60,7 @@ def minimize_lbfgs(
     converged = False
     step = 0
     for step in range(1, max_steps + 1):
-        params, state, value, gnorm = step_fn(params, state)
+        params, state, value, gnorm = step_fn(params, state, *args)
         if verbose:
             print(f"[LBFGS] step={step} loss={float(value):.6e} |g|={float(gnorm):.3e}")
         if not bool(jnp.isfinite(value)):
@@ -68,19 +75,21 @@ def minimize_lbfgs(
 def minimize_adam(
     fn: Callable,
     params,
+    args=(),
     max_steps: int = 100,
     learning_rate: float = 1e-2,
     rtol: float = 0.0,
     atol: float = 0.0,
     verbose: bool = False,
 ):
-    """Minimize ``fn(params)`` with Adam (fixed step budget)."""
+    """Minimize ``fn(params, *args)`` with Adam (fixed step budget)."""
+    args = tuple(args)
     opt = optax.adam(learning_rate)
     state = opt.init(params)
 
     @jax.jit
-    def step_fn(params, state):
-        value, grad = jax.value_and_grad(fn)(params)
+    def step_fn(params, state, *a):
+        value, grad = jax.value_and_grad(fn)(params, *a)
         updates, state = opt.update(grad, state)
         params = optax.apply_updates(params, updates)
         return params, state, value
@@ -90,7 +99,7 @@ def minimize_adam(
     converged = False
     step = 0
     for step in range(1, max_steps + 1):
-        params, state, value = step_fn(params, state)
+        params, state, value = step_fn(params, state, *args)
         if verbose:
             print(f"[Adam] step={step} loss={float(value):.6e}")
         if rtol or atol:

@@ -88,3 +88,56 @@ def test_fused_stepper_rejects_nonunit_mobility():
         FusedSemiImplicitSpectral(
             kappa=0.01, mu=mu, D=lambda c: c * (1 - c), domain=domain
         )
+
+
+def test_fused_ac_macro_matches_fft_reference():
+    from pde_opt_tpu.ops.fused_spectral import (
+        ac_sif_macro_reference,
+        make_ac_sif_fused_macro,
+    )
+
+    B, H, W = 6, 16, 16
+    hx, hy = 0.01, 0.02
+    A, dt, n = 1.0, 1e-4, 3
+    R = lambda c: 1.0 + 0.5 * c**2
+    u = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (B, H, W))
+    u = u.astype(jnp.float32)
+    kappa = jnp.linspace(1e-4, 1e-3, B)
+    fused = make_ac_sif_fused_macro(
+        mu, R, H, W, hx, hy, A, dt, n, mats_dtype=jnp.float32, interpret=True
+    )
+    ref = ac_sif_macro_reference(mu, R, hx, hy, A, dt, n)
+    out = fused(u, kappa)
+    expect = ref(u, kappa)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=0, atol=5e-5)
+    assert float(jnp.max(jnp.abs(out - u))) > 1e-7
+
+
+def test_fused_ac_stepper_via_evolve():
+    from pde_opt_tpu.grid import Domain
+    from pde_opt_tpu.models.allen_cahn import AllenCahn2DPeriodic
+    from pde_opt_tpu.ops.integrate import evolve
+    from pde_opt_tpu.ops.steppers import FusedAllenCahnSpectral
+    from pde_opt_tpu.utils.compat import (
+        check_equation_solver_compatibility,
+        prepare_solver_params,
+    )
+
+    domain = Domain((16, 16), ((0.0, 0.16), (0.0, 0.16)), "dimensionless")
+    check_equation_solver_compatibility(FusedAllenCahnSpectral,
+                                        AllenCahn2DPeriodic)
+    eq = AllenCahn2DPeriodic(domain, kappa=jnp.full((4, 1, 1), 1e-4),
+                             mu=mu, R=lambda c: jnp.ones_like(c))
+    solver = FusedAllenCahnSpectral(
+        **prepare_solver_params(FusedAllenCahnSpectral, {"A": 1.0,
+                                                         "interpret": True,
+                                                         "mats_dtype": jnp.float32},
+                                eq)
+    )
+    u0 = 0.1 * jax.random.normal(jax.random.PRNGKey(4), (4, 16, 16))
+    u0 = u0.astype(jnp.float32)
+    u1 = evolve(solver, eq.rhs, u0, 0.0, 1e-4, 3)
+    assert u1.shape == u0.shape
+    assert bool(jnp.isfinite(u1).all())
+    assert float(jnp.max(jnp.abs(u1 - u0))) > 1e-8
