@@ -39,6 +39,33 @@ except ImportError:  # pragma: no cover
 __all__ = ["make_mesh", "env_sharding", "replicated_sharding", "shard_map"]
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None, **kwargs):
+    """Initialize multi-host JAX (thin ``jax.distributed.initialize`` wrapper).
+
+    The multi-host entry point for pod-scale runs (SURVEY.md §5: the
+    reference has no distributed backend at all).  No-op when already
+    initialized or when called single-process with no coordinator — so the
+    same training script runs unchanged on one host.  After this,
+    ``jax.devices()`` spans the slice and :func:`make_mesh` can lay a global
+    mesh over it (env-fleet axis over ICI/DCN).
+    """
+    import jax as _jax
+
+    if coordinator_address is None and num_processes is None:
+        return  # single-process run
+    try:
+        _jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     axis_names: Sequence[str] = ("env",),

@@ -233,14 +233,37 @@ def make_ppo_train_step(env, config: PPOConfig, optimizer=None):
 
 
 def ppo_train(env, params, config: PPOConfig, num_updates: int,
-              key=None, log_fn: Callable = None):
-    """Host convenience loop: returns ``(params, metrics_history)``."""
+              key=None, log_fn: Callable = None, mesh=None,
+              shard_axis: str = "env"):
+    """Host convenience loop: returns ``(params, metrics_history)``.
+
+    Pass ``mesh`` (e.g. from :func:`pde_opt_tpu.parallel.make_mesh`) to run
+    the SAME jitted train step data-parallel over a device mesh: the env
+    state is sharded over ``shard_axis``, params/optimizer state are
+    replicated, and GSPMD inserts the gradient/advantage collectives — no
+    explicit shard_map needed for this pure data-parallel workload.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     train_step, optimizer = make_ppo_train_step(env, config)
     opt_state = optimizer.init(params)
     key, rkey = jax.random.split(key)
     env_state, _ = env.reset(rkey)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(shard_axis))
+        rep = NamedSharding(mesh, P())
+        env_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, shard), env_state
+        )
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), params
+        )
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep)
+            if hasattr(x, "shape") else x, opt_state,
+        )
     history = []
     for update in range(num_updates):
         params, opt_state, env_state, key, metrics = train_step(

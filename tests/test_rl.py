@@ -181,3 +181,22 @@ def test_replay_ring_wraparound():
     # wrapped slots hold the newest data
     assert int(replay.action[0]) == 12  # second batch idx 2 wrapped to slot 0
     assert int(replay.action[4]) == 4   # first batch idx 4 still present
+
+
+def test_ppo_data_parallel_over_mesh():
+    from pde_opt_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs multi-device platform")
+    mesh = make_mesh(jax.devices(), axis_names=("env",))
+    env = make_cahn_hilliard_control_env(
+        num_envs=16, grid_size=16, substeps=2, vectorized_control=True,
+    )
+    net = ActorCriticConv(action_dim=1, channels=(4,), features=16,
+                          key=jax.random.PRNGKey(0))
+    cfg = PPOConfig(rollout_steps=2, epochs=1, minibatches=2)
+    params, history = ppo_train(env, net, cfg, num_updates=2,
+                                key=jax.random.PRNGKey(1), mesh=mesh)
+    assert all(np.isfinite(m["loss"]) for m in history)
+    assert all(np.isfinite(m["reward_mean"]) for m in history)
