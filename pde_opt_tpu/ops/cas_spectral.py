@@ -1,0 +1,294 @@
+"""Hartley-transform fused semi-implicit macro-step kernel (Pallas, MXU).
+
+A faster drop-in for :func:`pde_opt_tpu.ops.fused_spectral.make_ch_sif_fused_macro`
+built on one observation: every multiplier in the semi-implicit
+Cahn-Hilliard update — the FD Laplacian symbol ``lam``, ``lam**2``, and the
+per-env implicit denominator ``1/(1 + A*dt*kappa*lam**2)`` — is **even in
+each frequency axis** (``lam(N-k) == lam(k)``).  The separable discrete
+Hartley (cas) transform, ``C[x,k] = cos(2*pi*x*k/N) + sin(2*pi*x*k/N)``
+applied along each axis, diagonalizes circular convolutions with
+axis-even symbols exactly like the DFT (the odd-frequency cross terms
+cancel), while being a *real, symmetric, self-inverse* map: ``C @ C = N*I``.
+
+Compared to the complex packed-DFT kernel this removes the entire real/imag
+bookkeeping:
+
+    per substep (per env; kappa_b is the env's own traced control):
+        m     = mu(u)                                  (VPU)
+        m~    = C u C  (cas transform of m)            (2 real matmuls)
+        incr~ = (dt*lam * m~ - dt*kappa_b*lam^2 * u~)
+                / (1 + A*dt*kappa_b*lam^2)             (VPU)
+        u~   += incr~                                  (VPU)
+        u    += C incr~ C / (H*W)                      (2 real matmuls)
+
+— identical arithmetic to the reference semi-implicit update
+``y1 = y0 + dt*ifft(fft(rhs)/(1+A*dt*symbol))``
+(``/root/reference/pde_opt/numerics/solvers.py:56-70``) with the
+FD-consistent symbol ``kappa*lam**2``; in exact arithmetic it matches
+:func:`pde_opt_tpu.ops.fused_spectral.ch_sif_macro_reference` bit-for-bit
+shape-for-shape.  Since the update is linear in the spectrum, ``u~`` is
+carried across substeps: ONE forward and ONE inverse transform per substep.
+
+MXU/VPU layout: grids with H, W <= 64 pack ``ph = 128//H`` envs along
+sublanes and ``pw = 128//W`` envs along lanes, so every array in the kernel
+is a lane-dense ``(bb4, ph*H, pw*W)`` block and every transform is a
+``dot_general`` over the *middle* axis (no materialized transposes) with
+contraction depth ph*H or pw*W = 128 — full MXU depth — against a
+block-diagonal ``diag(C, ..., C)`` matrix.  At 4096x64x64 this cuts
+MXU pass count ~2.4x and VPU element-ops ~2.5x vs the packed-DFT kernel
+(measured: see scripts/cas_macro_check.py).
+
+Noise robustness matches the DFT kernel: cas-domain bf16 rounding noise
+sees the same per-env implicit denominator, and ``A = 1`` keeps the
+high-k response deadbeat (|1 - 1/A| = 0 one-step gain).
+
+Not differentiable (no VJP registered); training paths use the
+per-substep steppers.  Non-TPU backends run in Pallas interpret mode.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_spectral import _fd_lap_symbols, ch_sif_macro_reference
+
+__all__ = ["make_ch_cas_fused_macro", "ch_cas_macro_reference"]
+
+# Same semantics as the DFT fused kernel -> same oracle.
+ch_cas_macro_reference = ch_sif_macro_reference
+
+
+def _cas_mat(N: int) -> np.ndarray:
+    """Symmetric cas (Hartley) matrix: C @ C = N * I."""
+    x = np.arange(N)
+    ang = 2.0 * np.pi * np.outer(x, x) / N
+    return np.cos(ang) + np.sin(ang)
+
+
+def _block_diag(m: np.ndarray, p: int) -> np.ndarray:
+    """p-fold block-diagonal tiling of a square matrix."""
+    if p == 1:
+        return m
+    n = m.shape[0]
+    out = np.zeros((p * n, p * n), m.dtype)
+    for i in range(p):
+        out[i * n:(i + 1) * n, i * n:(i + 1) * n] = m
+    return out
+
+
+def _pick_block(B: int, HP: int, WP: int,
+                vmem_budget_bytes: int = 9 * 2**20) -> int:
+    """Largest power-of-two packed-env-block with ~9 live (bb4, HP, WP) f32
+    buffers under the VMEM budget."""
+    per = HP * WP * 4 * 9
+    bb4 = max(1, vmem_budget_bytes // per)
+    bb4 = 1 << (bb4.bit_length() - 1)
+    while B % bb4 != 0:
+        bb4 //= 2
+    return max(1, bb4)
+
+
+def make_ch_cas_fused_macro(
+    mu_fn: Callable,
+    H: int,
+    W: int,
+    hx: float,
+    hy: float,
+    A: float,
+    dt: float,
+    n_steps: int,
+    *,
+    block_envs: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    mats_dtype=jnp.bfloat16,
+):
+    """Build ``macro(u, kappa) -> u1`` advancing ``n_steps`` fused substeps.
+
+    Args:
+        mu_fn: elementwise homogeneous chemical potential (e.g. ``c**3 - c``).
+        H, W: grid shape (trailing axes of ``u``); multiples of 8.  Grids
+            smaller than 128 must divide 128 (they are env-packed to a
+            128-wide tile).
+        hx, hy: grid spacings for axes -2/-1.
+        A: implicit splitting constant (1.0 = deadbeat high-k noise damping).
+        dt: substep size (static).
+        n_steps: substeps per macro-step (static; unrolled in-kernel).
+        block_envs: *unpacked* envs per kernel block (default: auto from a
+            VMEM budget; must be divisible by the packing factor
+            ``(128//H)*(128//W)`` for small grids).
+        interpret: force interpret mode (default: on for non-TPU backends).
+        mats_dtype: matmul operand dtype (bf16 default; f32 for testing).
+
+    Returns a function taking ``u`` of shape (..., H, W) (leading axes are
+    env batch) and ``kappa`` broadcastable to the batch, returning the
+    advanced field (same shape/dtype as ``u``).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if H % 8 or W % 8:
+        raise ValueError(f"H, W must be multiples of 8, got {(H, W)}")
+
+    ph = 128 // H if H < 128 else 1
+    pw = 128 // W if W < 128 else 1
+    if ph and H < 128 and ph * H != 128:
+        raise ValueError(f"H={H} < 128 must divide 128 for env packing")
+    if pw and W < 128 and pw * W != 128:
+        raise ValueError(f"W={W} < 128 must divide 128 for env packing")
+    HP, WP = ph * H, pw * W
+    pack = ph * pw
+
+    lam_h, lam_w = _fd_lap_symbols(H, W, hx, hy)
+    lam = lam_h[:, None] + lam_w[None, :]                        # (H, W)
+    lamQ_np = np.tile(lam, (ph, pw))                             # (HP, WP)
+    lam2Q_np = lamQ_np**2
+
+    CH_np = _block_diag(_cas_mat(H), ph)                         # (HP, HP)
+    CW_np = _block_diag(_cas_mat(W), pw)                         # (WP, WP)
+    ICH_np = CH_np / H                                           # inverse pair
+    ICW_np = CW_np / W
+
+    A_dt = float(A) * float(dt)
+    dt_f = float(dt)
+    mats = mats_dtype
+    # TPU "default" f32 matmul precision decomposes to single-pass bf16;
+    # when f32 operands are requested (testing), force true f32 arithmetic.
+    prec = jax.lax.Precision.HIGHEST if mats == jnp.float32 else None
+
+    def mid_contract(x3, m2):
+        """(bb4, K, L) x (K, N) -> (bb4, L, N): contraction over the middle
+        axis; Mosaic lowers it without materializing a transpose.  Always
+        accumulates f32 (Mosaic requires 32-bit matmul accumulators)."""
+        return jax.lax.dot_general(
+            x3, m2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    def kernel(u_ref, kap_ref, ch_ref, cw_ref, ich_ref, icw_ref,
+               lamQ_ref, lam2Q_ref, out_ref):
+        E = u_ref.shape[0]                  # unpacked envs per block
+        bb4 = E // pack
+        ch, cw, ich, icw = ch_ref[:], cw_ref[:], ich_ref[:], icw_ref[:]
+        lamQ = lamQ_ref[:]                  # (HP, WP) f32
+        lam2Q = lam2Q_ref[:]
+
+        # ---- pack (E, H, W) -> (bb4, HP, WP): consecutive envs go
+        # [sublane-block i, lane-block j] with env = (b4*pw + j)*ph + i.
+        x = u_ref[:].astype(jnp.float32)
+        xs = x.reshape(E // ph, HP, W)      # sublane stack: free reshape
+        if pw > 1:
+            xr = xs.reshape(bb4, pw, HP, W)
+            u = jnp.concatenate([xr[:, j] for j in range(pw)], axis=-1)
+        else:
+            u = xs
+
+        # ---- per-env multipliers on the packed quadrant layout.
+        kap = kap_ref[:].astype(jnp.float32).reshape(bb4, pw, ph)
+        kQ = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [
+                        jnp.broadcast_to(
+                            kap[:, j, i].reshape(bb4, 1, 1), (bb4, H, W)
+                        )
+                        for i in range(ph)
+                    ],
+                    axis=1,
+                )
+                for j in range(pw)
+            ],
+            axis=2,
+        )                                   # (bb4, HP, WP)
+        denom = 1.0 / (1.0 + A_dt * (kQ * lam2Q[None]))
+        cm = (dt_f * lamQ)[None] * denom
+        cu = (dt_f * kQ) * lam2Q[None] * denom
+
+        def fwd(z):
+            """Real (bb4, HP, WP) -> cas spectrum, same layout."""
+            t1 = mid_contract(z.astype(mats), ch).astype(mats)
+            return mid_contract(t1, cw)
+
+        def inv(zt):
+            """Cas spectrum -> real field, same layout."""
+            t1 = mid_contract(zt.astype(mats), ich).astype(mats)
+            return mid_contract(t1, icw)
+
+        u_t = fwd(u)
+        for _ in range(n_steps):
+            incr = cm * fwd(mu_fn(u)) - cu * u_t
+            u_t = u_t + incr
+            u = u + inv(incr)
+
+        # ---- unpack (bb4, HP, WP) -> (E, H, W)
+        if pw > 1:
+            y = jnp.stack(
+                [u[:, :, j * W:(j + 1) * W] for j in range(pw)], axis=1
+            ).reshape(E // ph, HP, W)
+        else:
+            y = u
+        out_ref[:] = y.reshape(E, H, W).astype(out_ref.dtype)
+
+    def macro(state, kappa):
+        *batch, h, w = state.shape
+        if (h, w) != (H, W):
+            raise ValueError(f"state trailing shape {(h, w)} != {(H, W)}")
+        B = math.prod(batch) if batch else 1
+        if B % pack:
+            raise ValueError(
+                f"batch {B} must be divisible by the env packing factor "
+                f"{pack} (= (128//H)*(128//W))"
+            )
+        x = state.reshape(B, H, W)
+        kap = jnp.asarray(kappa, jnp.float32)
+        kap = (jnp.broadcast_to(kap, (B,)).reshape(B, 1, 1)
+               if kap.ndim <= 1 else kap.reshape(B, 1, 1))
+
+        if block_envs is not None:
+            if block_envs % pack:
+                raise ValueError(
+                    f"block_envs {block_envs} must be divisible by {pack}"
+                )
+            bb = block_envs
+        else:
+            bb = pack * _pick_block(B // pack, HP, WP)
+        consts = [
+            jnp.asarray(CH_np, mats), jnp.asarray(CW_np, mats),
+            jnp.asarray(ICH_np, mats), jnp.asarray(ICW_np, mats),
+            jnp.asarray(lamQ_np, jnp.float32),
+            jnp.asarray(lam2Q_np, jnp.float32),
+        ]
+        const_specs = [
+            pl.BlockSpec(c.shape, lambda i, _nd=c.ndim: (0,) * _nd,
+                         memory_space=pltpu.VMEM)
+            for c in consts
+        ]
+        out = pl.pallas_call(
+            kernel,
+            grid=(B // bb,),
+            in_specs=[
+                pl.BlockSpec((bb, H, W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, 1, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *const_specs,
+            ],
+            out_specs=pl.BlockSpec((bb, H, W), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, H, W), state.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n_steps * B * H * W * (2 * HP + 2 * WP),
+                bytes_accessed=2 * B * H * W * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x, kap, *consts)
+        return out.reshape(*batch, H, W)
+
+    return macro
