@@ -240,15 +240,21 @@ def make_ch_cas_fused_macro(
         if (h, w) != (H, W):
             raise ValueError(f"state trailing shape {(h, w)} != {(H, W)}")
         B = math.prod(batch) if batch else 1
-        if B % pack:
-            raise ValueError(
-                f"batch {B} must be divisible by the env packing factor "
-                f"{pack} (= (128//H)*(128//W))"
-            )
         x = state.reshape(B, H, W)
         kap = jnp.asarray(kappa, jnp.float32)
         kap = (jnp.broadcast_to(kap, (B,)).reshape(B, 1, 1)
                if kap.ndim <= 1 else kap.reshape(B, 1, 1))
+        # Envs are independent; pad ragged batches to a pack multiple by
+        # replicating the last env (keeps mu_fn inputs in-domain) and slice
+        # the result back.  Padded lanes cost one partially-wasted tile.
+        Bp = -(-B // pack) * pack
+        if Bp != B:
+            reps = Bp - B
+            x = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (reps, H, W))], 0)
+            kap = jnp.concatenate(
+                [kap, jnp.broadcast_to(kap[-1:], (reps, 1, 1))], 0
+            )
+        B_in, B = B, Bp
 
         if block_envs is not None:
             if block_envs % pack:
@@ -289,6 +295,8 @@ def make_ch_cas_fused_macro(
             ),
             interpret=interpret,
         )(x, kap, *consts)
+        if B_in != B:
+            out = out[:B_in]
         return out.reshape(*batch, H, W)
 
     return macro
