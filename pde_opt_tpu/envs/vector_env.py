@@ -248,20 +248,39 @@ class VectorPDEEnv:
         info = {"diverged": diverged}
 
         if self.auto_reset:
-            new_keys = jax.vmap(lambda k: jax.random.split(k)[0])(state.key)
-            reset_y, reset_cv, carry_keys = jax.vmap(self._reset_single)(new_keys)
+            # The reset work (fleet-wide RNG field generation + selects +
+            # re-observation) is by far the most expensive non-physics part
+            # of a step, yet terminations are rare in lockstep fleets (once
+            # per episode, plus divergences).  Gate it behind a fleet-level
+            # cond: per-env outputs are bitwise identical either way (when
+            # ``terminated[i]`` is False the env takes the ``y1`` path), so
+            # the common no-termination step skips the entire block.
+            def _with_resets(_):
+                new_keys = jax.vmap(lambda k: jax.random.split(k)[0])(state.key)
+                reset_y, reset_cv, carry_keys = jax.vmap(self._reset_single)(
+                    new_keys
+                )
 
-            def where_done(a, b):
-                d = terminated.reshape((-1,) + (1,) * (a.ndim - 1))
-                return jnp.where(d, a, b)
+                def where_done(a, b):
+                    d = terminated.reshape((-1,) + (1,) * (a.ndim - 1))
+                    return jnp.where(d, a, b)
 
-            y_next = where_done(reset_y, y1)
-            cv_next = jax.tree_util.tree_map(where_done, reset_cv, cv1)
-            key_next = where_done(carry_keys, state.key)
+                y_next = where_done(reset_y, y1)
+                cv_next = jax.tree_util.tree_map(where_done, reset_cv, cv1)
+                key_next = where_done(carry_keys, state.key)
+                return (y_next, cv_next, key_next,
+                        self.state_to_observation_func(y_next))
+
+            def _no_resets(_):
+                return y1, cv1, state.key, obs
+
+            y_next, cv_next, key_next, obs_next = jax.lax.cond(
+                terminated.any(), _with_resets, _no_resets, None
+            )
             t_next = jnp.where(terminated, 0.0, t1)
             steps_next = jnp.where(terminated, 0, steps1)
             info = {"final_observation": obs, "diverged": diverged}
-            obs = self.state_to_observation_func(y_next)
+            obs = obs_next
             next_state = EnvState(
                 y=y_next, t=t_next, control_value=cv_next,
                 key=key_next, step_count=steps_next,
@@ -310,17 +329,19 @@ class VectorPDEEnv:
         """
 
         def body(carry, _):
-            st, k = carry
+            st, obs, k = carry
             k, ak = jax.random.split(k)
-            obs = self.state_to_observation_func(st.y)
             actions = policy_fn(obs, ak)
             st, obs, reward, terminated, truncated, _ = self._step_impl(st, actions)
-            return (st, k), (reward, terminated)
+            return (st, obs, k), (reward, terminated)
 
         @partial(jax.jit, donate_argnums=(0,))
         def run(state, key):
-            (state, _), (rewards, terms) = jax.lax.scan(
-                body, (state, key), None, length=n_steps
+            # The obs a step returns IS the next state's observation; carry
+            # it so each state is observed exactly once per step.
+            obs0 = self.state_to_observation_func(state.y)
+            (state, _, _), (rewards, terms) = jax.lax.scan(
+                body, (state, obs0, key), None, length=n_steps
             )
             return state, rewards, terms
 
