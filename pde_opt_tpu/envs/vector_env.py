@@ -298,6 +298,13 @@ class VectorPDEEnv:
         next_state = jax.tree_util.tree_map(
             lambda new, old: new.astype(old.dtype), next_state, state
         )
+        # Pin the observation the same way: obs was computed from the
+        # pre-pinning field, but rollout scans carry it alongside the pinned
+        # state, so it must match what observing the pinned state yields.
+        obs_sd = jax.eval_shape(self.state_to_observation_func, next_state.y)
+        obs = jax.tree_util.tree_map(
+            lambda o, s: o.astype(s.dtype), obs, obs_sd
+        )
         return next_state, obs, reward, terminated, truncated, info
 
     # ------------------------------------------------------------------

@@ -1,46 +1,38 @@
-"""Symbolic advection-diffusion twin (method of manufactured solutions).
+"""Advection-diffusion manufactured-solution twin via the MMS engine.
 
-No reference counterpart (the reference never had the equation in-package);
-same MMS pattern as its AC/CH twins, for the restored
+No reference counterpart (the equation only ever appeared in reference
+notebooks, ``notebooks/run_advection_diffusion.ipynb``); backs the restored
 :class:`pde_opt_tpu.models.advection_diffusion.AdvectionDiffusion2D`.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable, Tuple
+from typing import Callable
 
-import jax.numpy as jnp
 import sympy as sp
-from sympy.utilities.lambdify import lambdify
 
 from .base_sym_eq import BaseSymbolicEquation
+from .mms import MMS, advection_diffusion_operator
+
+__all__ = ["SymbolicAdvectionDiffusion2D"]
 
 
-@dataclass
 class SymbolicAdvectionDiffusion2D(BaseSymbolicEquation):
-    """Exact RHS for −∇·(u·v) + D∆u at a manufactured u*."""
+    """Exact RHS of u_t = −∇·(u·v) + D∆u at a manufactured u*(x, y, t).
 
-    domain: object
-    diffusion_coeff: float
-    v_sym: Callable[[sp.Symbol, sp.Symbol, sp.Symbol], Tuple[sp.Expr, sp.Expr]]
-    u_star: sp.Expr
+    ``v_sym(t, x, y) -> (vx, vy)`` is the symbolic velocity field.
+    """
 
-    def __post_init__(self):
-        x, y, t = sp.symbols("x y t", real=True)
-        u = self.u_star
-        vx, vy = self.v_sym(t, x, y)
-        rhs_expr = (
-            -(sp.diff(u * vx, x) + sp.diff(u * vy, y))
-            + self.diffusion_coeff * (sp.diff(u, x, 2) + sp.diff(u, y, 2))
+    def __init__(self, domain, diffusion_coeff: float, v_sym: Callable,
+                 u_star: sp.Expr):
+        self.domain = domain
+        self._mms = MMS(
+            domain, u_star,
+            advection_diffusion_operator(diffusion_coeff, v_sym),
         )
-        self._u_fn = lambdify((x, y, t), sp.simplify(u), "numpy")
-        self._rhs_fn = lambdify((x, y, t), sp.simplify(rhs_expr), "numpy")
 
     def u_exact(self, t: float):
-        X, Y = self.domain.mesh()
-        return jnp.asarray(self._u_fn(X, Y, float(t)))
+        return self._mms.u_exact(t)
 
     def rhs_exact(self, t: float):
-        X, Y = self.domain.mesh()
-        return jnp.asarray(self._rhs_fn(X, Y, float(t)))
+        return self._mms.rhs_exact(t)

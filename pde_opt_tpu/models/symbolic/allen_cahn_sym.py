@@ -1,48 +1,35 @@
-"""Symbolic Allen-Cahn twin (method of manufactured solutions).
+"""Allen-Cahn manufactured-solution twin — thin wrapper over the MMS engine.
 
-Capability parity with
-``/root/reference/pde_opt/numerics/symbolic/allen_cahn_sym.py:12-45``: given a
-symbolic test solution u*(x,y,t) and symbolic μ/R, derive the exact RHS with
-sympy and lambdify it for grid evaluation.  Used by the order-of-accuracy
-tests (SURVEY.md §4.2).
+Capability parity with the reference's per-equation symbolic class
+(``/root/reference/pde_opt/numerics/symbolic/allen_cahn_sym.py:12-45``); here
+the equation contributes only its operator algebra
+(:func:`pde_opt_tpu.models.symbolic.mms.allen_cahn_operator`) and the
+generic :class:`~pde_opt_tpu.models.symbolic.mms.MMS` engine does the rest.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Callable
 
-import jax.numpy as jnp
 import sympy as sp
-from sympy.utilities.lambdify import lambdify
 
 from .base_sym_eq import BaseSymbolicEquation
+from .mms import MMS, allen_cahn_operator
+
+__all__ = ["SymbolicAllenCahn2DPeriodic"]
 
 
-@dataclass
 class SymbolicAllenCahn2DPeriodic(BaseSymbolicEquation):
-    """Exact RHS for −R(u)(μ(u) − κ∆u) at a manufactured u*."""
+    """Exact RHS of u_t = −R(u)(μ(u) − κ∆u) at a manufactured u*(x, y, t)."""
 
-    domain: object
-    kappa: float
-    mu_sym: Callable[[sp.Expr], sp.Expr]
-    R_sym: Callable[[sp.Expr], sp.Expr]
-    u_star: sp.Expr
-
-    def __post_init__(self):
-        x, y, t = sp.symbols("x y t", real=True)
-        u = self.u_star
-        u_xx = sp.diff(u, x, 2)
-        u_yy = sp.diff(u, y, 2)
-        mu_expr = self.mu_sym(u) - self.kappa * (u_xx + u_yy)
-        rhs_expr = -self.R_sym(u) * mu_expr
-        self._u_fn = lambdify((x, y, t), sp.simplify(u), "numpy")
-        self._rhs_fn = lambdify((x, y, t), sp.simplify(rhs_expr), "numpy")
+    def __init__(self, domain, kappa: float, mu_sym: Callable,
+                 R_sym: Callable, u_star: sp.Expr):
+        self.domain = domain
+        self._mms = MMS(domain, u_star,
+                        allen_cahn_operator(kappa, mu_sym, R_sym))
 
     def u_exact(self, t: float):
-        X, Y = self.domain.mesh()
-        return jnp.asarray(self._u_fn(X, Y, float(t)))
+        return self._mms.u_exact(t)
 
     def rhs_exact(self, t: float):
-        X, Y = self.domain.mesh()
-        return jnp.asarray(self._rhs_fn(X, Y, float(t)))
+        return self._mms.rhs_exact(t)

@@ -1,46 +1,42 @@
-"""Symbolic Cahn-Hilliard twin (method of manufactured solutions).
+"""Cahn-Hilliard manufactured-solution twins (2D and 3D) via the MMS engine.
 
-Capability parity with
-``/root/reference/pde_opt/numerics/symbolic/cahn_hilliard_sym.py:14-48``.
+Capability parity with the reference's 2D symbolic class
+(``/root/reference/pde_opt/numerics/symbolic/cahn_hilliard_sym.py:14-48``);
+the 3D twin (no reference counterpart — the reference never order-verified
+its 3D equation) backs the 32³ training-parity tests.  Both contribute only
+the conserved-flux operator algebra
+(:func:`pde_opt_tpu.models.symbolic.mms.cahn_hilliard_operator`).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Callable
 
-import jax.numpy as jnp
 import sympy as sp
-from sympy.utilities.lambdify import lambdify
 
 from .base_sym_eq import BaseSymbolicEquation
+from .mms import MMS, cahn_hilliard_operator
+
+__all__ = ["SymbolicCahnHilliard2DPeriodic", "SymbolicCahnHilliard3DPeriodic"]
 
 
-@dataclass
-class SymbolicCahnHilliard2DPeriodic(BaseSymbolicEquation):
-    """Exact RHS for ∇·(D(u)∇(μ(u) − κ∆u)) at a manufactured u*."""
-
-    domain: object
-    kappa: float
-    mu_sym: Callable[[sp.Expr], sp.Expr]
-    D_sym: Callable[[sp.Expr], sp.Expr]
-    u_star: sp.Expr
-
-    def __post_init__(self):
-        x, y, t = sp.symbols("x y t", real=True)
-        u = self.u_star
-        u_xx = sp.diff(u, x, 2)
-        u_yy = sp.diff(u, y, 2)
-        mu_expr = self.mu_sym(u) - self.kappa * (u_xx + u_yy)
-        mu_x, mu_y = sp.diff(mu_expr, x), sp.diff(mu_expr, y)
-        rhs_expr = sp.diff(self.D_sym(u) * mu_x, x) + sp.diff(self.D_sym(u) * mu_y, y)
-        self._u_fn = lambdify((x, y, t), sp.simplify(u), "numpy")
-        self._rhs_fn = lambdify((x, y, t), sp.simplify(rhs_expr), "numpy")
+class _SymbolicCahnHilliard(BaseSymbolicEquation):
+    def __init__(self, domain, kappa: float, mu_sym: Callable,
+                 D_sym: Callable, u_star: sp.Expr):
+        self.domain = domain
+        self._mms = MMS(domain, u_star,
+                        cahn_hilliard_operator(kappa, mu_sym, D_sym))
 
     def u_exact(self, t: float):
-        X, Y = self.domain.mesh()
-        return jnp.asarray(self._u_fn(X, Y, float(t)))
+        return self._mms.u_exact(t)
 
     def rhs_exact(self, t: float):
-        X, Y = self.domain.mesh()
-        return jnp.asarray(self._rhs_fn(X, Y, float(t)))
+        return self._mms.rhs_exact(t)
+
+
+class SymbolicCahnHilliard2DPeriodic(_SymbolicCahnHilliard):
+    """Exact RHS of u_t = ∇·(D(u)∇(μ(u) − κ∆u)) at a 2D manufactured u*."""
+
+
+class SymbolicCahnHilliard3DPeriodic(_SymbolicCahnHilliard):
+    """3D twin: same operator, u*(x, y, z, t) on a rank-3 Domain."""

@@ -42,8 +42,17 @@ Noise robustness matches the DFT kernel: cas-domain bf16 rounding noise
 sees the same per-env implicit denominator, and ``A = 1`` keeps the
 high-k response deadbeat (|1 - 1/A| = 0 one-step gain).
 
-Not differentiable (no VJP registered); training paths use the
-per-substep steppers.  Non-TPU backends run in Pallas interpret mode.
+Differentiable: the macro registers a custom VJP whose backward pass is a
+second Pallas kernel with the same structure (the per-substep update's
+spectral operators are *symmetric* — ``C`` is symmetric and the
+multipliers are real diagonals — so each transposed operator is the
+operator itself).  The backward kernel re-runs the forward substeps into a
+VMEM scratch trajectory, then sweeps back accumulating the field cotangent
+and the per-env ``kappa`` cotangent; cost ~3.5x a forward macro, all
+VMEM-resident.  Training paths (``PDEModel.optimize``, PPO pathwise
+gradients) therefore run at fused-kernel speed end-to-end.
+
+Non-TPU backends run in Pallas interpret mode.
 """
 
 from __future__ import annotations
@@ -84,16 +93,79 @@ def _block_diag(m: np.ndarray, p: int) -> np.ndarray:
     return out
 
 
-def _pick_block(B: int, HP: int, WP: int,
-                vmem_budget_bytes: int = 9 * 2**20) -> int:
-    """Largest power-of-two packed-env-block with ~9 live (bb4, HP, WP) f32
-    buffers under the VMEM budget."""
-    per = HP * WP * 4 * 9
+def _pick_block(HP: int, WP: int,
+                vmem_budget_bytes: int = 9 * 2**20,
+                live_buffers: int = 9) -> int:
+    """Largest power-of-two packed-env-block with ``live_buffers`` live
+    (bb4, HP, WP) f32 buffers under the VMEM budget (a cap — callers pad the
+    batch up to a multiple of the chosen block, never shrink the block to
+    fit a ragged batch)."""
+    per = HP * WP * 4 * live_buffers
     bb4 = max(1, vmem_budget_bytes // per)
-    bb4 = 1 << (bb4.bit_length() - 1)
-    while B % bb4 != 0:
-        bb4 //= 2
-    return max(1, bb4)
+    return 1 << (bb4.bit_length() - 1)
+
+
+def _pack_field(x, ph: int, pw: int):
+    """(E, H, W) -> (bb4, ph*H, pw*W): consecutive envs go [sublane-block i,
+    lane-block j] with env = (b4*pw + j)*ph + i."""
+    E, H, W = x.shape
+    HP = ph * H
+    bb4 = E // (ph * pw)
+    xs = x.reshape(E // ph, HP, W)          # sublane stack: free reshape
+    if pw > 1:
+        xr = xs.reshape(bb4, pw, HP, W)
+        return jnp.concatenate([xr[:, j] for j in range(pw)], axis=-1)
+    return xs
+
+
+def _unpack_field(u, ph: int, pw: int, H: int, W: int):
+    """Inverse of :func:`_pack_field`: (bb4, ph*H, pw*W) -> (E, H, W)."""
+    bb4 = u.shape[0]
+    E = bb4 * ph * pw
+    HP = ph * H
+    if pw > 1:
+        y = jnp.stack(
+            [u[:, :, j * W:(j + 1) * W] for j in range(pw)], axis=1
+        ).reshape(E // ph, HP, W)
+    else:
+        y = u
+    return y.reshape(E, H, W)
+
+
+def _pack_kappa(kap, ph: int, pw: int, H: int, W: int):
+    """(E, 1, 1) per-env scalars -> (bb4, ph*H, pw*W) quadrant-constant."""
+    E = kap.shape[0]
+    bb4 = E // (ph * pw)
+    k = kap.reshape(bb4, pw, ph)
+    return jnp.concatenate(
+        [
+            jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        k[:, j, i].reshape(bb4, 1, 1), (bb4, H, W)
+                    )
+                    for i in range(ph)
+                ],
+                axis=1,
+            )
+            for j in range(pw)
+        ],
+        axis=2,
+    )
+
+
+def _quadrant_sums(z, ph: int, pw: int, H: int, W: int):
+    """(bb4, ph*H, pw*W) -> (E,) per-env quadrant sums (inverse index map
+    of :func:`_pack_kappa`)."""
+    bb4 = z.shape[0]
+    parts = []
+    for j in range(pw):
+        for i in range(ph):
+            parts.append(
+                jnp.sum(z[:, i * H:(i + 1) * H, j * W:(j + 1) * W],
+                        axis=(1, 2))
+            )
+    return jnp.stack(parts, axis=1).reshape(bb4 * ph * pw)
 
 
 def make_ch_cas_fused_macro(
@@ -171,45 +243,14 @@ def make_ch_cas_fused_macro(
             preferred_element_type=jnp.float32, precision=prec,
         )
 
-    def kernel(u_ref, kap_ref, ch_ref, cw_ref, ich_ref, icw_ref,
-               lamQ_ref, lam2Q_ref, out_ref):
-        E = u_ref.shape[0]                  # unpacked envs per block
-        bb4 = E // pack
-        ch, cw, ich, icw = ch_ref[:], cw_ref[:], ich_ref[:], icw_ref[:]
-        lamQ = lamQ_ref[:]                  # (HP, WP) f32
-        lam2Q = lam2Q_ref[:]
-
-        # ---- pack (E, H, W) -> (bb4, HP, WP): consecutive envs go
-        # [sublane-block i, lane-block j] with env = (b4*pw + j)*ph + i.
-        x = u_ref[:].astype(jnp.float32)
-        xs = x.reshape(E // ph, HP, W)      # sublane stack: free reshape
-        if pw > 1:
-            xr = xs.reshape(bb4, pw, HP, W)
-            u = jnp.concatenate([xr[:, j] for j in range(pw)], axis=-1)
-        else:
-            u = xs
-
-        # ---- per-env multipliers on the packed quadrant layout.
-        kap = kap_ref[:].astype(jnp.float32).reshape(bb4, pw, ph)
-        kQ = jnp.concatenate(
-            [
-                jnp.concatenate(
-                    [
-                        jnp.broadcast_to(
-                            kap[:, j, i].reshape(bb4, 1, 1), (bb4, H, W)
-                        )
-                        for i in range(ph)
-                    ],
-                    axis=1,
-                )
-                for j in range(pw)
-            ],
-            axis=2,
-        )                                   # (bb4, HP, WP)
+    def coeffs(kQ, lamQ, lam2Q):
+        """Per-substep multipliers on the packed quadrant layout."""
         denom = 1.0 / (1.0 + A_dt * (kQ * lam2Q[None]))
         cm = (dt_f * lamQ)[None] * denom
         cu = (dt_f * kQ) * lam2Q[None] * denom
+        return denom, cm, cu
 
+    def make_transforms(ch, cw, ich, icw):
         def fwd(z):
             """Real (bb4, HP, WP) -> cas spectrum, same layout."""
             t1 = mid_contract(z.astype(mats), ch).astype(mats)
@@ -220,20 +261,194 @@ def make_ch_cas_fused_macro(
             t1 = mid_contract(zt.astype(mats), ich).astype(mats)
             return mid_contract(t1, icw)
 
+        return fwd, inv
+
+    def kernel(u_ref, kap_ref, ch_ref, cw_ref, ich_ref, icw_ref,
+               lamQ_ref, lam2Q_ref, out_ref):
+        E = u_ref.shape[0]                  # unpacked envs per block
+        lamQ = lamQ_ref[:]                  # (HP, WP) f32
+        lam2Q = lam2Q_ref[:]
+        u = _pack_field(u_ref[:].astype(jnp.float32), ph, pw)
+        kQ = _pack_kappa(kap_ref[:].astype(jnp.float32), ph, pw, H, W)
+        _, cm, cu = coeffs(kQ, lamQ, lam2Q)
+        fwd, inv = make_transforms(ch_ref[:], cw_ref[:], ich_ref[:],
+                                   icw_ref[:])
+
         u_t = fwd(u)
         for _ in range(n_steps):
             incr = cm * fwd(mu_fn(u)) - cu * u_t
             u_t = u_t + incr
             u = u + inv(incr)
 
-        # ---- unpack (bb4, HP, WP) -> (E, H, W)
-        if pw > 1:
-            y = jnp.stack(
-                [u[:, :, j * W:(j + 1) * W] for j in range(pw)], axis=1
-            ).reshape(E // ph, HP, W)
-        else:
-            y = u
-        out_ref[:] = y.reshape(E, H, W).astype(out_ref.dtype)
+        out_ref[:] = _unpack_field(u, ph, pw, H, W).astype(out_ref.dtype)
+
+    def bwd_kernel(u_ref, kap_ref, g_ref, ch_ref, cw_ref, ich_ref, icw_ref,
+                   lamQ_ref, lam2Q_ref, du_ref, dkap_ref, traj):
+        """VJP of the macro: cotangents w.r.t. the initial field and kappa.
+
+        Forward substeps are re-run into the VMEM scratch ``traj``; the
+        reverse sweep uses the symmetry of the spectral operators
+        (``op^T == op``: cas matrices are symmetric, multipliers are real
+        diagonals), so each transposed application is the same
+        transform-multiply-transform structure as the forward:
+
+            gbar_k = gbar_{k+1} + mu'(u_k) * inv(cm * C(gbar_{k+1}))
+                                - inv(cu * C(gbar_{k+1}))
+            dkap  += sum( C(gbar_{k+1})/(H*W) *
+                          (dcm * C(mu(u_k)) - dcu * C(u_k)) )
+
+        with dcm = d(cm)/d(kappa) = -A*dt^2*lam^3*denom^2 and
+        dcu = d(cu)/d(kappa) = dt*lam^2*denom^2.
+        """
+        E = u_ref.shape[0]
+        lamQ = lamQ_ref[:]
+        lam2Q = lam2Q_ref[:]
+        u = _pack_field(u_ref[:].astype(jnp.float32), ph, pw)
+        gbar = _pack_field(g_ref[:].astype(jnp.float32), ph, pw)
+        kQ = _pack_kappa(kap_ref[:].astype(jnp.float32), ph, pw, H, W)
+        denom, cm, cu = coeffs(kQ, lamQ, lam2Q)
+        dcm = -(A_dt * dt_f) * (lamQ * lam2Q)[None] * denom * denom
+        dcu = dt_f * lam2Q[None] * denom * denom
+        fwd, inv = make_transforms(ch_ref[:], cw_ref[:], ich_ref[:],
+                                   icw_ref[:])
+
+        # Forward sweep: stash each substep's input field in VMEM scratch.
+        u_t = fwd(u)
+        for k in range(n_steps):
+            traj[k] = u
+            incr = cm * fwd(mu_fn(u)) - cu * u_t
+            u_t = u_t + incr
+            u = u + inv(incr)
+
+        # Reverse sweep.
+        inv_hw = 1.0 / float(H * W)
+        kacc = jnp.zeros_like(gbar)
+        for k in reversed(range(n_steps)):
+            u_k = traj[k]
+            ghat = fwd(gbar)
+            mu_p = jax.jvp(mu_fn, (u_k,), (jnp.ones_like(u_k),))[1]
+            kacc = kacc + (inv_hw * ghat) * (
+                dcm * fwd(mu_fn(u_k)) - dcu * fwd(u_k)
+            )
+            gbar = gbar + mu_p * inv(cm * ghat) - inv(cu * ghat)
+
+        du_ref[:] = _unpack_field(gbar, ph, pw, H, W).astype(du_ref.dtype)
+        dkap_ref[:] = _quadrant_sums(kacc, ph, pw, H, W).reshape(
+            E, 1, 1
+        ).astype(dkap_ref.dtype)
+
+    def _consts():
+        return [
+            jnp.asarray(CH_np, mats), jnp.asarray(CW_np, mats),
+            jnp.asarray(ICH_np, mats), jnp.asarray(ICW_np, mats),
+            jnp.asarray(lamQ_np, jnp.float32),
+            jnp.asarray(lam2Q_np, jnp.float32),
+        ]
+
+    def _choose_block(B: int, live_buffers: int) -> int:
+        # Choose the env block FIRST, then pad ragged batches up to a
+        # multiple of it; the grid then always covers the whole (padded)
+        # batch, and a ragged B can never collapse the auto block size
+        # into the tiny-block perf cliff.
+        if block_envs is not None:
+            if block_envs % pack:
+                raise ValueError(
+                    f"block_envs {block_envs} must be divisible by {pack}"
+                )
+            return block_envs
+        need4 = -(-B // pack)               # packed rows required
+        pow2 = 1 << (need4 - 1).bit_length()
+        return pack * min(_pick_block(HP, WP, live_buffers=live_buffers),
+                          pow2)
+
+    def _pad(arrs, B: int, bb: int):
+        """Pad each (B, ...) array up to a bb multiple by replicating its
+        last row (keeps mu_fn inputs in-domain); padded rows cost < one
+        block of waste and are sliced off by the caller."""
+        Bp = -(-B // bb) * bb
+        if Bp == B:
+            return arrs, Bp
+        reps = Bp - B
+        return [
+            jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (reps,) + a.shape[1:])], 0
+            )
+            for a in arrs
+        ], Bp
+
+    def _grid_specs(bb, consts):
+        const_specs = [
+            pl.BlockSpec(c.shape, lambda i, _nd=c.ndim: (0,) * _nd,
+                         memory_space=pltpu.VMEM)
+            for c in consts
+        ]
+        field_spec = pl.BlockSpec((bb, H, W), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        kap_spec = pl.BlockSpec((bb, 1, 1), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return field_spec, kap_spec, const_specs
+
+    @jax.custom_vjp
+    def _core(x, kapf):
+        """Canonical macro: x (B, H, W), kapf (B,) f32 -> advanced field."""
+        B = x.shape[0]
+        kap = kapf.reshape(B, 1, 1)
+        bb = _choose_block(B, 9)
+        (x, kap), Bp = _pad([x, kap], B, bb)
+        consts = _consts()
+        field_spec, kap_spec, const_specs = _grid_specs(bb, consts)
+        out = pl.pallas_call(
+            kernel,
+            grid=(Bp // bb,),
+            in_specs=[field_spec, kap_spec, *const_specs],
+            out_specs=field_spec,
+            out_shape=jax.ShapeDtypeStruct((Bp, H, W), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n_steps * Bp * H * W * (2 * HP + 2 * WP),
+                bytes_accessed=2 * Bp * H * W * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x, kap, *consts)
+        return out[:B] if Bp != B else out
+
+    def _core_fwd(x, kapf):
+        return _core(x, kapf), (x, kapf)
+
+    def _core_bwd(res, g):
+        x, kapf = res
+        B = x.shape[0]
+        kap = kapf.reshape(B, 1, 1)
+        # Backward holds ~12 live packed buffers plus the n_steps-deep
+        # scratch trajectory; size the block for that footprint.
+        bb = _choose_block(B, 12 + n_steps)
+        (x, kap, g), Bp = _pad([x, kap, g], B, bb)
+        consts = _consts()
+        field_spec, kap_spec, const_specs = _grid_specs(bb, consts)
+        du, dkap = pl.pallas_call(
+            bwd_kernel,
+            grid=(Bp // bb,),
+            in_specs=[field_spec, kap_spec, field_spec, *const_specs],
+            out_specs=(field_spec, kap_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((Bp, H, W), g.dtype),
+                jax.ShapeDtypeStruct((Bp, 1, 1), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((n_steps, bb // pack, HP, WP), jnp.float32)
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=7 * n_steps * Bp * H * W * (2 * HP + 2 * WP),
+                bytes_accessed=4 * Bp * H * W * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x, kap, g, *consts)
+        if Bp != B:
+            du, dkap = du[:B], dkap[:B]
+        return du, dkap.reshape(B).astype(kapf.dtype)
+
+    _core.defvjp(_core_fwd, _core_bwd)
 
     def macro(state, kappa):
         *batch, h, w = state.shape
@@ -242,61 +457,12 @@ def make_ch_cas_fused_macro(
         B = math.prod(batch) if batch else 1
         x = state.reshape(B, H, W)
         kap = jnp.asarray(kappa, jnp.float32)
-        kap = (jnp.broadcast_to(kap, (B,)).reshape(B, 1, 1)
-               if kap.ndim <= 1 else kap.reshape(B, 1, 1))
-        # Envs are independent; pad ragged batches to a pack multiple by
-        # replicating the last env (keeps mu_fn inputs in-domain) and slice
-        # the result back.  Padded lanes cost one partially-wasted tile.
-        Bp = -(-B // pack) * pack
-        if Bp != B:
-            reps = Bp - B
-            x = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (reps, H, W))], 0)
-            kap = jnp.concatenate(
-                [kap, jnp.broadcast_to(kap[-1:], (reps, 1, 1))], 0
-            )
-        B_in, B = B, Bp
-
-        if block_envs is not None:
-            if block_envs % pack:
-                raise ValueError(
-                    f"block_envs {block_envs} must be divisible by {pack}"
-                )
-            bb = block_envs
-        else:
-            bb = pack * _pick_block(B // pack, HP, WP)
-        consts = [
-            jnp.asarray(CH_np, mats), jnp.asarray(CW_np, mats),
-            jnp.asarray(ICH_np, mats), jnp.asarray(ICW_np, mats),
-            jnp.asarray(lamQ_np, jnp.float32),
-            jnp.asarray(lam2Q_np, jnp.float32),
-        ]
-        const_specs = [
-            pl.BlockSpec(c.shape, lambda i, _nd=c.ndim: (0,) * _nd,
-                         memory_space=pltpu.VMEM)
-            for c in consts
-        ]
-        out = pl.pallas_call(
-            kernel,
-            grid=(B // bb,),
-            in_specs=[
-                pl.BlockSpec((bb, H, W), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bb, 1, 1), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                *const_specs,
-            ],
-            out_specs=pl.BlockSpec((bb, H, W), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, H, W), state.dtype),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * n_steps * B * H * W * (2 * HP + 2 * WP),
-                bytes_accessed=2 * B * H * W * 4,
-                transcendentals=0,
-            ),
-            interpret=interpret,
-        )(x, kap, *consts)
-        if B_in != B:
-            out = out[:B_in]
+        # Normalize kappa to a flat (B,) vector for the custom-VJP core;
+        # the broadcast/reshape below is plain jax, so cotangents for
+        # scalar / (B,) / batch-shaped kappa fall out of its transpose.
+        kapf = (jnp.broadcast_to(kap, (B,)) if kap.ndim <= 1
+                else kap.reshape(B))
+        out = _core(x, kapf)
         return out.reshape(*batch, H, W)
 
     return macro

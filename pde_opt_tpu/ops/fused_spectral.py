@@ -47,8 +47,15 @@ makes the high-k response deadbeat — with per-env denominators there is no
 reason to pick the marginally-stable A=0.5/kappa_max-bound combination the
 dense path needed its sqrt-factoring trick for.
 
-The kernel is not differentiable (no VJP registered); training paths use
-the per-substep steppers.  Non-TPU backends run in Pallas interpret mode.
+Differentiable: both macros register a custom VJP.  The primal runs the
+Pallas kernel; the backward pass recomputes through the mathematically
+identical XLA/FFT oracle (``ch_sif_macro_reference`` /
+``ac_sif_macro_reference``) with a ``jax.checkpoint``-wrapped scan body,
+so memory stays O(n_steps) fields while gradients are exact for the
+macro's semantics.  (The Hartley-transform kernel in
+:mod:`pde_opt_tpu.ops.cas_spectral` additionally ships a hand-written
+Pallas backward kernel — that is the fast training path.)  Non-TPU
+backends run in Pallas interpret mode.
 """
 
 from __future__ import annotations
@@ -93,14 +100,65 @@ def _dft_mats(N: int):
     return (Wr, Wi), (Vr, Vi)
 
 
-def _pick_block(B: int, H: int, W: int, vmem_budget_bytes: int = 10 * 2**20) -> int:
-    """Largest power-of-two env block with ~10 live (bb, H, 2W) f32 buffers."""
+def _attach_oracle_vjp(pallas_macro, oracle_macro):
+    """Register a custom VJP on a Pallas macro using the XLA oracle.
+
+    Primal = the fast Pallas kernel; backward = ``jax.vjp`` through the
+    mathematically identical (exact-arithmetic-equal) XLA/FFT oracle, which
+    recomputes the forward under ``jax.checkpoint`` scan semantics.
+    Cotangent shapes/dtypes match the user's ``(state, kappa)`` since the
+    oracle broadcasts kappa the same way the kernel does.
+    """
+
+    @jax.custom_vjp
+    def dmacro(state, kappa):
+        return pallas_macro(state, kappa)
+
+    def dmacro_fwd(state, kappa):
+        return pallas_macro(state, kappa), (state, kappa)
+
+    def dmacro_bwd(res, g):
+        state, kappa = res
+        _, vjp = jax.vjp(oracle_macro, state, kappa)
+        return vjp(g)
+
+    dmacro.defvjp(dmacro_fwd, dmacro_bwd)
+    return dmacro
+
+
+def _pick_block(H: int, W: int, vmem_budget_bytes: int = 10 * 2**20) -> int:
+    """Largest power-of-two env block with ~10 live (bb, H, 2W) f32 buffers
+    (a cap — callers pad the batch up to a block multiple, never shrink the
+    block to fit a ragged batch)."""
     per_env = H * W * 4 * 20
     bb = max(1, vmem_budget_bytes // per_env)
-    bb = 1 << (bb.bit_length() - 1)
-    while B % bb != 0:
-        bb //= 2
-    return max(1, bb)
+    return 1 << (bb.bit_length() - 1)
+
+
+def _block_and_pad(B, x, kap, block_envs, pack, block_cap, H, W):
+    """Choose the env block first, then pad ``x``/``kap`` (leading axis B) up
+    to a multiple of it by replicating the last env.  Returns
+    ``(bb, Bp, x, kap)``; callers slice the kernel output back to B rows.
+    Choosing the block before padding keeps the grid covering the whole
+    (padded) batch and keeps ragged batches off the tiny-block perf cliff."""
+    if block_envs is not None:
+        if block_envs % pack:
+            raise ValueError(
+                f"block_envs {block_envs} must be divisible by {pack}"
+            )
+        bb = block_envs
+    else:
+        need = -(-B // pack)
+        pow2 = 1 << (need - 1).bit_length()
+        bb = pack * min(block_cap, pow2)
+    Bp = -(-B // bb) * bb
+    if Bp != B:
+        reps = Bp - B
+        x = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (reps, H, W))], 0)
+        kap = jnp.concatenate(
+            [kap, jnp.broadcast_to(kap[-1:], (reps, 1, 1))], 0
+        )
+    return bb, Bp, x, kap
 
 
 def make_ch_sif_fused_macro(
@@ -264,7 +322,10 @@ def make_ch_sif_fused_macro(
         kap = (jnp.broadcast_to(kap, (B,)).reshape(B, 1, 1)
                if kap.ndim <= 1 else kap.reshape(B, 1, 1))
 
-        bb = block_envs or _pick_block(B, H, W)
+        bb, Bp, x, kap = _block_and_pad(
+            B, x, kap, block_envs, 1, _pick_block(H, W), H, W
+        )
+        B_in, B = B, Bp
         consts = [
             jnp.asarray(FW_np, mats), jnp.asarray(FH_np, mats),
             jnp.asarray(IH_np, mats), jnp.asarray(IW_np, mats),
@@ -296,17 +357,24 @@ def make_ch_sif_fused_macro(
             ),
             interpret=interpret,
         )(x, kap, *consts)
+        if B_in != B:
+            out = out[:B_in]
         return out.reshape(*batch, H, W)
 
-    return macro
+    return _attach_oracle_vjp(
+        macro, ch_sif_macro_reference(mu_fn, hx, hy, A, dt, n_steps,
+                                      remat=True)
+    )
 
 
-def ch_sif_macro_reference(mu_fn, hx, hy, A, dt, n_steps):
+def ch_sif_macro_reference(mu_fn, hx, hy, A, dt, n_steps, remat=False):
     """XLA/FFT reference of the fused kernel's exact semantics (for tests).
 
     Same per-env FD-symbol semi-implicit update, evaluated with
     ``jnp.fft`` in the working dtype — the correctness oracle the Pallas
-    kernel is compared against.
+    kernel is compared against.  With ``remat=True`` the scan body is
+    ``jax.checkpoint``-wrapped so reverse-mode AD stores only the carried
+    field per substep (this is the backward pass of the fused DFT macro).
     """
 
     def macro(u, kappa):
@@ -328,7 +396,9 @@ def ch_sif_macro_reference(mu_fn, hx, hy, A, dt, n_steps):
             uu = uu + dt * jnp.fft.ifftn(incr, axes=(-2, -1)).real.astype(uu.dtype)
             return uu, None
 
-        out, _ = jax.lax.scan(body, u, None, length=n_steps)
+        out, _ = jax.lax.scan(
+            jax.checkpoint(body) if remat else body, u, None, length=n_steps
+        )
         return out
 
     return macro
@@ -459,7 +529,10 @@ def make_ac_sif_fused_macro(
         kap = jnp.asarray(kappa, jnp.float32)
         kap = (jnp.broadcast_to(kap, (B,)).reshape(B, 1, 1)
                if kap.ndim <= 1 else kap.reshape(B, 1, 1))
-        bb = block_envs or _pick_block(B, H, W)
+        bb, Bp, x, kap = _block_and_pad(
+            B, x, kap, block_envs, 1, _pick_block(H, W), H, W
+        )
+        B_in, B = B, Bp
         consts = [
             jnp.asarray(FW_np, mats), jnp.asarray(FH_np, mats),
             jnp.asarray(IH_np, mats), jnp.asarray(IW_np, mats),
@@ -485,13 +558,22 @@ def make_ac_sif_fused_macro(
             out_shape=jax.ShapeDtypeStruct((B, H, W), state.dtype),
             interpret=interpret,
         )(x, kap, *consts)
+        if B_in != B:
+            out = out[:B_in]
         return out.reshape(*batch, H, W)
 
-    return macro
+    return _attach_oracle_vjp(
+        macro, ac_sif_macro_reference(mu_fn, R_fn, hx, hy, A, dt, n_steps,
+                                      remat=True)
+    )
 
 
-def ac_sif_macro_reference(mu_fn, R_fn, hx, hy, A, dt, n_steps):
-    """XLA/FFT oracle for :func:`make_ac_sif_fused_macro` (tests)."""
+def ac_sif_macro_reference(mu_fn, R_fn, hx, hy, A, dt, n_steps, remat=False):
+    """XLA/FFT oracle for :func:`make_ac_sif_fused_macro` (tests).
+
+    ``remat=True`` checkpoint-wraps the scan body (backward pass of the
+    fused AC macro's custom VJP).
+    """
 
     def macro(u, kappa):
         H, W = u.shape[-2:]
@@ -513,7 +595,9 @@ def ac_sif_macro_reference(mu_fn, R_fn, hx, hy, A, dt, n_steps):
             uu = uu + dt * jnp.fft.ifftn(incr, axes=(-2, -1)).real.astype(uu.dtype)
             return uu, None
 
-        out, _ = jax.lax.scan(body, u, None, length=n_steps)
+        out, _ = jax.lax.scan(
+            jax.checkpoint(body) if remat else body, u, None, length=n_steps
+        )
         return out
 
     return macro

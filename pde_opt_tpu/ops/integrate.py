@@ -85,6 +85,14 @@ def evolve(
 
 
 def _segment_advance(stepper, rhs, y, t_start, dt_sub, n_sub, unroll):
+    # Steppers with a whole-segment evolve hook (the fused Pallas macros)
+    # advance all substeps in one kernel — model-layer solves then run at
+    # fused speed too, and their custom VJPs keep the segment
+    # differentiable under both adjoint modes.
+    own = getattr(stepper, "evolve", None)
+    if own is not None:
+        return own(rhs, y, t_start, dt_sub, n_sub, unroll)
+
     def body(yc, i):
         t = t_start + i * dt_sub
         y1, _ = stepper.step(rhs, yc, t, dt_sub)
@@ -138,8 +146,11 @@ def integrate(
 
     advance = _segment_advance
     if adjoint == "checkpoint":
+        # dt_sub (argnum 4) stays static: it is always a host float here,
+        # and whole-segment steppers (the fused Pallas macros) require a
+        # trace-time-concrete dt to specialize their kernels.
         advance = jax.checkpoint(
-            _segment_advance, static_argnums=(0, 1, 5, 6)
+            _segment_advance, static_argnums=(0, 1, 4, 5, 6)
         )
     elif adjoint != "forward":
         raise ValueError(f"unknown adjoint mode: {adjoint!r}")

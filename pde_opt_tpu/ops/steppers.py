@@ -273,7 +273,14 @@ class FusedSemiImplicitSpectral(AbstractStepper):
     Contract: the equation must be Cahn-Hilliard-like with elementwise
     ``mu`` and **unit mobility** (``D == 1``) — the preset envs that select
     this stepper guarantee it, and construction probes ``D`` when it can.
-    Batched (``vectorized_control``) paths only; not differentiable.
+    Batched (``vectorized_control``) paths only.
+
+    Differentiable: both kernel algorithms register custom VJPs — the cas
+    kernel backward is a second Pallas kernel (fast training path), the
+    DFT kernel backward recomputes through the checkpointed XLA oracle —
+    so ``jax.grad`` flows through ``evolve`` w.r.t. both the field and
+    the per-env ``kappa`` control (see :mod:`pde_opt_tpu.ops.cas_spectral`
+    and :mod:`pde_opt_tpu.ops.fused_spectral`).
     """
 
     required_equation_attrs = ("kappa", "mu", "D", "domain")
@@ -352,8 +359,9 @@ class FusedAllenCahnSpectral(AbstractStepper):
     Pallas kernel (roll-stencil Laplacian + packed-DFT semi-implicit solve
     with the env's per-env kappa; see
     :func:`pde_opt_tpu.ops.fused_spectral.make_ac_sif_fused_macro`).
-    ``mu`` and ``R`` must be elementwise.  Batched paths only; not
-    differentiable.
+    ``mu`` and ``R`` must be elementwise.  Batched paths only.
+    Differentiable via the macro's custom VJP (checkpointed XLA-oracle
+    backward).
     """
 
     required_equation_attrs = ("kappa", "mu", "R", "domain")

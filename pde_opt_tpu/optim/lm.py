@@ -112,7 +112,10 @@ def least_squares_lm(
                 f"lambda={lam:.2e} accepted={accepted}"
             )
         if not accepted:
-            converged = True  # cannot improve further at max damping
+            # No step at max damping improved the loss: the solve STALLED.
+            # Report it as non-convergence (matching optimistix semantics)
+            # rather than claiming success.
+            converged = False
             break
         improvement = loss - loss_new
         theta, loss = theta_new, loss_new

@@ -20,18 +20,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:  # jax >= 0.8 top-level; fall back to the experimental path
     from jax import shard_map as _shard_map_new
 
-    def shard_map(f, mesh, in_specs, out_specs, check_rep=None):
-        # check_vma=False: jax 0.8's varying-manual-axes checker has a bug
-        # in the transpose rule of the rfft/irfft primitives (cotangent vma
-        # mismatch: "expected ShapedArray(c64[...]) but got
-        # JitTracer(c64[...]{V:env})"), which breaks jax.grad through any
-        # rfft-based spectral stepper inside shard_map.  Disabling the
-        # checker restores the classic shard_map semantics (out_specs
-        # trusted, collectives still correct) and unblocks differentiable
-        # sharded rollouts.
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=None,
+                  check_vma: bool = True):
+        """``jax.shard_map`` with an opt-out of the varying-manual-axes checker.
+
+        Pass ``check_vma=False`` ONLY for regions whose *gradient* flows
+        through ``jnp.fft.rfft``/``irfft``: jax 0.8's VMA checker has a bug
+        in the transpose rule of the rfft/irfft primitives (cotangent vma
+        mismatch: "expected ShapedArray(c64[...]) but got
+        JitTracer(c64[...]{V:env})"), which breaks ``jax.grad`` through any
+        rfft-based spectral stepper inside ``shard_map``.  Disabling the
+        checker there restores classic shard_map semantics (out_specs
+        trusted, collectives still correct).  Everywhere else the checker
+        stays ON.  ``check_rep`` is accepted for pre-0.8 API compatibility
+        and ignored (the new checker subsumes it).
+        """
+        del check_rep
         return _shard_map_new(
             f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False,
+            check_vma=check_vma,
         )
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore

@@ -70,15 +70,18 @@ class ShardedVectorPDEEnv:
             shard_map(
                 _reset_shard, mesh=mesh,
                 in_specs=(spec,), out_specs=(spec, spec),
-                check_rep=False,
             )
         )
+        # check_vma=False: pathwise-gradient training differentiates through
+        # this sharded step, whose rfft-based spectral steppers hit the jax
+        # 0.8 rfft-transpose VMA-checker bug (see mesh.shard_map docstring).
+        # Scoped to this one region; all other shard_maps keep the checker.
         self._step = jax.jit(
             shard_map(
                 _step_shard, mesh=mesh,
                 in_specs=(spec, spec),
                 out_specs=(spec, spec, spec, spec, spec, spec),
-                check_rep=False,
+                check_vma=False,
             ),
             donate_argnums=(0,),
         )

@@ -1,83 +1,114 @@
-"""Convergence-test harness.
+"""Spatial order-of-accuracy harness for the MMS tests.
 
-Capability parity with ``/root/reference/pde_opt/numerics/utils/testing.py``
-(``l2_rel_err`` :13-17, ``check_convergence`` :20-60, ``plot_convergence``
-:63-96): evaluate a numeric equation's RHS on the exact manufactured solution
-over a ladder of grids and measure the spatial order of accuracy.
+Measures how fast a numeric equation's RHS converges to the symbolically
+exact RHS as the grid refines (the capability the reference exercises in
+``/root/reference/tests/test_rhs_convergence.py``; the mechanism here is
+our own: a grid-ladder sweep returning a :class:`ConvergenceResult` whose
+``order()`` is the fitted log-log slope).
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Type
+from typing import NamedTuple, Sequence
 
 import numpy as np
 
 from ..grid import Domain
 
-__all__ = ["l2_rel_err", "check_convergence", "fit_order", "plot_convergence"]
+__all__ = [
+    "l2_rel_err",
+    "ConvergenceResult",
+    "check_convergence",
+    "fit_order",
+    "plot_convergence",
+]
 
 
-def l2_rel_err(numeric, symbolic) -> float:
-    """Relative L2 error between a numeric and an exact field."""
-    numeric = np.asarray(numeric)
-    symbolic = np.asarray(symbolic)
-    return float(
-        np.sqrt(np.sum((numeric - symbolic) ** 2)) / np.sqrt(np.sum(symbolic**2))
-    )
+def l2_rel_err(numeric, exact) -> float:
+    """Relative L2 error ‖numeric − exact‖₂ / ‖exact‖₂."""
+    numeric = np.asarray(numeric, np.float64)
+    exact = np.asarray(exact, np.float64)
+    return float(np.linalg.norm(numeric - exact) / np.linalg.norm(exact))
 
 
-def check_convergence(numeric, symbolic, numeric_args, symbolic_args,
-                      Ns: Sequence[int], L: float, dtype=None):
-    """RHS error vs grid spacing over the ladder ``Ns`` on a [−L/2, L/2]² box.
+class ConvergenceResult(NamedTuple):
+    """Grid-ladder sweep outcome.  Unpacks as ``(dxs, errors)``."""
 
-    Returns ``(dxs, errors)`` for slope fitting (reference ``testing.py:20-60``).
-    """
-    errors = []
-    dxs = []
-    for N in Ns:
-        kwargs = {}
-        if dtype is not None:
-            kwargs["dtype"] = dtype
-        domain = Domain(
-            (N, N), ((-L / 2, L / 2), (-L / 2, L / 2)), "dimensionless", **kwargs
-        )
-        numeric_args = {**numeric_args, "domain": domain}
-        symbolic_args = {**symbolic_args, "domain": domain}
-        numeric_eq = numeric(**numeric_args)
-        symbolic_eq = symbolic(**symbolic_args)
-        u_exact = symbolic_eq.u_exact(0)
-        F_numeric = numeric_eq.rhs(u_exact, 0)
-        F_symbolic = symbolic_eq.rhs_exact(0)
-        errors.append(l2_rel_err(F_numeric, F_symbolic))
-        dxs.append(domain.dx[0])
-    return dxs, errors
+    dxs: tuple
+    errors: tuple
+
+    def order(self) -> float:
+        """Fitted log-log slope (the observed order of accuracy)."""
+        return fit_order(self.dxs, self.errors)
 
 
 def fit_order(dxs, errors) -> float:
-    """Fitted log-log slope of error vs spacing (the convergence order)."""
-    slope, _ = np.polyfit(np.log(np.asarray(dxs)), np.log(np.asarray(errors)), 1)
-    return float(slope)
+    """Least-squares slope of log(error) against log(dx)."""
+    logx = np.log(np.asarray(dxs, np.float64))
+    logy = np.log(np.asarray(errors, np.float64))
+    return float(np.polyfit(logx, logy, 1)[0])
 
 
-def plot_convergence(dx, err, orders=(0.5, 1.0, 1.5, 2.0), anchor="min"):
-    """Log-log convergence plot with dotted reference slopes (host-side)."""
+def _square_domain(N: int, L: float, ndim: int, dtype) -> Domain:
+    box = tuple((-L / 2, L / 2) for _ in range(ndim))
+    kwargs = {"dtype": dtype} if dtype is not None else {}
+    return Domain((N,) * ndim, box, "dimensionless", **kwargs)
+
+
+def check_convergence(
+    numeric,
+    symbolic,
+    numeric_args: dict,
+    symbolic_args: dict,
+    Ns: Sequence[int],
+    L: float,
+    dtype=None,
+    ndim: int = 2,
+    t: float = 0.0,
+) -> ConvergenceResult:
+    """Sweep the grid ladder ``Ns`` on a centered [−L/2, L/2]^ndim box.
+
+    For each N: build the numeric equation and its symbolic twin on the
+    same Domain, evaluate the numeric RHS *at the exact manufactured
+    solution*, and record its relative L2 error against the exact RHS.
+    Returns a :class:`ConvergenceResult` — assert on ``.order()``.
+    """
+    dxs, errors = [], []
+    for N in Ns:
+        domain = _square_domain(int(N), float(L), ndim, dtype)
+        num_eq = numeric(**{**numeric_args, "domain": domain})
+        sym_eq = symbolic(**{**symbolic_args, "domain": domain})
+        u_star = sym_eq.u_exact(t)
+        err = l2_rel_err(num_eq.rhs(u_star, t), sym_eq.rhs_exact(t))
+        dxs.append(float(domain.dx[0]))
+        errors.append(err)
+    return ConvergenceResult(tuple(dxs), tuple(errors))
+
+
+def plot_convergence(dx, err, orders=(1.0, 2.0, 4.0)):
+    """Log-log error-vs-spacing plot with slope guide lines (host-side).
+
+    Guides pass through the geometric center of the measured data so they
+    bracket it visually regardless of absolute error level.
+    """
     import matplotlib.pyplot as plt
 
-    dx = np.asarray(dx, float)
-    err = np.asarray(err, float)
-    i = np.argsort(dx)
-    dx, err = dx[i], err[i]
+    dx = np.asarray(dx, np.float64)
+    err = np.asarray(err, np.float64)
+    order = np.argsort(dx)
+    dx, err = dx[order], err[order]
 
-    plt.figure()
-    plt.loglog(dx, err, "o-", label="measured")
-    x0, y0 = (dx[0], err[0]) if anchor == "min" else (dx[-1], err[-1])
-    xref = np.array([dx[0], dx[-1]])
+    fig, ax = plt.subplots()
+    ax.loglog(dx, err, marker="o", label="measured")
+    # Anchor guide lines at the data's log-space centroid.
+    cx = np.exp(np.mean(np.log(dx)))
+    cy = np.exp(np.mean(np.log(err)))
     for q in orders:
-        plt.loglog(xref, y0 * (xref / x0) ** q, linestyle=":", label=f"order {q:g}")
-    slope = np.polyfit(np.log(dx), np.log(err), 1)[0]
-    plt.xlabel(r"$\Delta x$")
-    plt.ylabel("error")
-    plt.title(f"Convergence (global slope ≈ {abs(slope):.3f})")
-    plt.legend()
-    plt.grid(True, which="both", linestyle="--", alpha=0.3)
-    plt.tight_layout()
+        ax.loglog(dx, cy * (dx / cx) ** q, linestyle="--", alpha=0.6,
+                  label=rf"$\propto \Delta x^{{{q:g}}}$")
+    ax.set_xlabel(r"grid spacing $\Delta x$")
+    ax.set_ylabel("relative $L_2$ error")
+    ax.set_title(f"observed order ≈ {fit_order(dx, err):.2f}")
+    ax.legend()
+    fig.tight_layout()
+    return fig, ax

@@ -39,12 +39,21 @@ def main():
     t = timeit(lambda s, a: step(s, a)[0].y, state, actions)
     print(f"full env step:              {t*1e3:8.3f} ms -> {NUM_ENVS/t:,.0f} env-steps/s")
 
-    # rollout as the bench drives it (scan over steps, random policy)
+    # rollout as the bench drives it (scan over steps, random policy).
+    # `run` donates its state arg, so thread the returned state through the
+    # warmup + timed calls instead of reusing a deleted donated buffer.
     def policy(obs, key):
         return jax.random.uniform(key, (NUM_ENVS, 1), minval=-1., maxval=1.)
     run = env.make_rollout(policy, 50)
-    state, _ = env.reset(jax.random.PRNGKey(0))
-    t = timeit(lambda s: run(s, jax.random.PRNGKey(1))[1], state, n=3, warmup=1)
+    st, _ = env.reset(jax.random.PRNGKey(0))
+    st, rew, _ = run(st, jax.random.PRNGKey(1))  # compile + warmup
+    jax.block_until_ready(rew)
+    n = 3
+    t0 = time.perf_counter()
+    for i in range(n):
+        st, rew, _ = run(st, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(rew)
+    t = (time.perf_counter() - t0) / n
     print(f"rollout 50 steps:           {t*1e3:8.3f} ms -> {NUM_ENVS*50/t:,.0f} env-steps/s")
 
 if __name__ == "__main__":

@@ -100,10 +100,13 @@ def test_sharded_rollout_runs():
 def test_learner_psum_gradients():
     """Co-located learner pattern: per-shard data, replicated params.
 
-    Our ``shard_map`` wrapper runs with ``check_vma=False`` (classic
-    semantics; see ``parallel/mesh.py`` for why), so gradients w.r.t. a
-    replicated parameter are per-shard partials and the learner must
-    explicitly ``psum`` them — same as the loss.
+    The ``psum`` lives INSIDE the differentiated loss — the idiomatic
+    pattern under jax's varying-manual-axes semantics: AD transposes the
+    psum so the gradient w.r.t. the replicated parameter comes out globally
+    reduced exactly once.  (An explicit psum of an already-unvarying
+    gradient would double-count by the axis size under ``check_vma=True``.)
+    This runs with the VMA checker ON (the default of our wrapper; only
+    rfft-gradient regions opt out, see ``parallel/mesh.py``).
     """
     mesh = make_mesh()
     n_dev = len(jax.devices())
@@ -114,9 +117,11 @@ def test_learner_psum_gradients():
     x = jnp.arange(8 * n_dev * 4, dtype=jnp.float32).reshape(8 * n_dev, 4)
 
     def loss_shard(w, xs):
-        per = jnp.sum((xs @ w) ** 2) / (8 * n_dev)
-        g = jax.grad(lambda w_: jnp.sum((xs @ w_) ** 2) / (8 * n_dev))(w)
-        return jax.lax.psum(per, "env"), jax.lax.psum(g, "env")
+        def global_loss(w_):
+            return jax.lax.psum(jnp.sum((xs @ w_) ** 2), "env") / (8 * n_dev)
+
+        per, g = jax.value_and_grad(global_loss)(w)
+        return per, g
 
     f = jax.jit(
         shard_map(
