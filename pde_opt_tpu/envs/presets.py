@@ -15,7 +15,11 @@ from ..models.cahn_hilliard import CahnHilliard2DPeriodic
 from ..ops.steppers import SemiImplicitFourierSpectral
 from .vector_env import VectorPDEEnv
 
-__all__ = ["make_cahn_hilliard_control_env"]
+__all__ = [
+    "make_cahn_hilliard_control_env",
+    "make_allen_cahn_control_env",
+    "make_gpe_control_env",
+]
 
 
 def make_cahn_hilliard_control_env(
@@ -114,4 +118,164 @@ def make_cahn_hilliard_control_env(
         num_envs=num_envs,
         auto_reset=auto_reset,
         vectorized_control=vectorized_control,
+    )
+
+
+def make_allen_cahn_control_env(
+    num_envs: int = 4096,
+    grid_size: int = 64,
+    substeps: int = 10,
+    end_time: float = 1.0,
+    step_dt: float = 0.01,
+    dtype=jnp.float32,
+    auto_reset: bool = True,
+    vectorized_control: bool = True,
+    spectral_solve: str = "fused",
+) -> VectorPDEEnv:
+    """Allen-Cahn control fleet: the agent drives κ (interface energy).
+
+    Same control protocol as the Cahn-Hilliard flagship but on the
+    2nd-order (nonconserved) dynamics; ``spectral_solve="fused"`` selects
+    the whole-macro-step Pallas AC kernel
+    (:class:`pde_opt_tpu.ops.steppers.FusedAllenCahnSpectral`), ``"fft"``
+    the per-substep semi-implicit spectral stepper.
+    """
+    from ..models.allen_cahn import AllenCahn2DPeriodic
+
+    L = 0.01 * grid_size
+    domain = gridmod.Domain(
+        (grid_size, grid_size), ((-L / 2, L / 2), (-L / 2, L / 2)),
+        "dimensionless", dtype=dtype,
+    )
+    if spectral_solve == "fused":
+        from ..ops.steppers import FusedAllenCahnSpectral
+
+        solver_type = FusedAllenCahnSpectral
+        solver_parameters = {"A": 1.0}
+    elif spectral_solve == "fft":
+        solver_type = SemiImplicitFourierSpectral
+        solver_parameters = {"A": 1.0}
+    else:
+        raise ValueError(f"unknown spectral_solve: {spectral_solve!r}")
+    return VectorPDEEnv(
+        equation_type=AllenCahn2DPeriodic,
+        domain=domain,
+        solver_type=solver_type,
+        end_time=end_time,
+        step_dt=step_dt,
+        numeric_dt=step_dt / substeps,
+        state_to_observation_func=lambda y: jnp.clip(
+            (y + 1.0) * 127.5, 0, 255
+        ).astype(jnp.uint8)[..., None, :, :],
+        # Drive toward a mixed (interface-rich) state: AC wants to coarsen
+        # to ±1 phases; reward the agent for keeping variance DOWN.
+        reward_function=lambda y: -jnp.var(y),
+        reset_func=lambda domain, key: 0.1 * jax.random.normal(
+            key, domain.points, dtype=dtype
+        ),
+        reset_control_value=jnp.asarray(4e-4, dtype),
+        update_control_value=lambda off, old: jnp.clip(
+            old + 5e-5 * off[..., 0], 1e-4, 1e-3
+        ),
+        update_control_parameter=lambda old, new: new[..., None, None],
+        action_space_config={"type": "continuous", "shape": (1,)},
+        static_equation_parameters={
+            "mu": lambda c: c**3 - c,
+            "R": lambda c: jnp.ones_like(c),
+        },
+        control_equation_parameter_name="kappa",
+        solver_parameters=solver_parameters,
+        num_envs=num_envs,
+        auto_reset=auto_reset,
+        vectorized_control=vectorized_control,
+    )
+
+
+def make_gpe_control_env(
+    num_envs: int = 1024,
+    grid_size: int = 64,
+    substeps: int = 10,
+    end_time: float = 2.0,
+    step_dt: float = 0.02,
+    dtype=jnp.float32,
+    auto_reset: bool = True,
+    k_interaction: float = 100.0,
+    spot_width: float = 1.0,
+    box_size: float = 16.0,
+) -> VectorPDEEnv:
+    """Gross-Pitaevskii control fleet: the agent drives an optical spot.
+
+    The control value is the per-env intensity of a Gaussian light spot at
+    the trap center, entering the GPE Hamiltonian through the ``lights``
+    potential (the reference's GPE-control capability,
+    ``/root/reference/pde_opt/pde_env.py:43-138`` with GPE2DTSControl).
+    State is the real-stacked (..., H, W, 2) wavefunction; one RL step is
+    ``substeps`` Strang split-step substeps (per-step L2 renormalization,
+    reference ``solvers.py:99-122``).  Reward: condensate density pushed
+    OUT of the spot region (the agent learns to stir with the light).
+    """
+    from ..models.gross_pitaevskii import GPE2DTSControl
+    from ..ops.steppers import StrangSplitting
+
+    L = box_size
+    domain = gridmod.Domain(
+        (grid_size, grid_size), ((-L / 2, L / 2), (-L / 2, L / 2)),
+        "dimensionless", dtype=dtype,
+    )
+    X, Y = (jnp.asarray(m, dtype) for m in domain.mesh())
+    spot = jnp.exp(-(X**2 + Y**2) / (spot_width**2))       # (H, W)
+    dx = float(domain.dx[0])
+
+    def reset_func(domain_, key):
+        psi = jnp.exp(-(X**2 + Y**2) / 4.0).astype(dtype)
+        noise = 0.02 * jax.random.normal(key, domain_.points, dtype=dtype)
+        psi = psi * (1.0 + noise)
+        norm = jnp.sqrt(jnp.sum(psi**2) * dx * dx)
+        psi = psi / norm
+        return jnp.stack([psi, jnp.zeros_like(psi)], axis=-1)
+
+    def make_lights(intensity):
+        # intensity: (B,) traced control -> lights(t, x, y) closure whose
+        # output broadcasts (B, 1, 1)*(H, W) against (B, H, W) fields.
+        def lights(t, x, y):
+            return intensity[..., None, None] * spot
+
+        return lights
+
+    def density_in_spot(y):
+        rho = y[..., 0] ** 2 + y[..., 1] ** 2               # (H, W)
+        return jnp.sum(rho * spot) * dx * dx
+
+    return VectorPDEEnv(
+        equation_type=GPE2DTSControl,
+        domain=domain,
+        solver_type=StrangSplitting,
+        end_time=end_time,
+        step_dt=step_dt,
+        numeric_dt=step_dt / substeps,
+        state_to_observation_func=lambda y: jnp.clip(
+            (y[..., 0] ** 2 + y[..., 1] ** 2) * 2550.0, 0, 255
+        ).astype(jnp.uint8)[..., None, :, :],
+        reward_function=lambda y: -density_in_spot(y),
+        reset_func=reset_func,
+        reset_control_value=jnp.asarray(0.0, dtype),
+        update_control_value=lambda off, old: jnp.clip(
+            old + 2.0 * off[..., 0], 0.0, 50.0
+        ),
+        update_control_parameter=lambda old, new: make_lights(new),
+        action_space_config={"type": "continuous", "shape": (1,)},
+        static_equation_parameters={
+            "k": k_interaction,
+            "e": 0.0,
+            "trap_factor": 1.0,
+            "kinetic": True,
+        },
+        control_equation_parameter_name="lights",
+        # fast_evolve merges consecutive A half-steps (midpoint Strang):
+        # 2 FFT pairs per substep instead of 4 — the env path does not need
+        # bitwise reference-step parity, the golden tests pin that on .step.
+        solver_parameters={"time_scale": 1.0, "fast_evolve": True},
+        num_envs=num_envs,
+        auto_reset=auto_reset,
+        vectorized_control=True,
     )

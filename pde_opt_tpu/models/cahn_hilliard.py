@@ -119,6 +119,12 @@ class CahnHilliard3DPeriodic(BaseEquation):
     fft = None
     ifft = None
     fourier_symbol = None
+    # Class-level placeholders so solver-compat checks (which inspect the
+    # class) see the attrs the fused 3D stepper pulls off instances.
+    kappa = None
+    mu = None
+    D = None
+    domain = None
 
     def __init__(self, domain: Domain, kappa, mu: Callable, D: Callable,
                  derivs: str = "fd", use_rfft: bool = True):

@@ -32,7 +32,7 @@ from ..ops.integrate import (
     integrate,
     integrate_adaptive,
 )
-from ..optim.lm import least_squares_lm
+from ..optim.lm import least_squares_lm, least_squares_lm_jitted
 from ..optim.minimize import minimize_adam, minimize_lbfgs
 from ..utils.compat import check_equation_solver_compatibility, prepare_solver_params
 from ..utils import ptree
@@ -237,9 +237,11 @@ class PDEModel:
         of ``inds[0]``.
 
         ``method``: ``"least_squares"`` (Levenberg-Marquardt, forward-mode —
-        small parameter vectors), ``"mse"`` (L-BFGS, checkpointed
-        reverse-mode — NN-sized parameters), or ``"adam"`` (first-order,
-        robust for long rollouts).
+        small parameter vectors; host outer loop with verbose logging),
+        ``"least_squares_jit"`` (same LM fully inside one jitted
+        ``lax.while_loop`` — no per-iteration host sync, for TPU-resident
+        fits), ``"mse"`` (L-BFGS, checkpointed reverse-mode — NN-sized
+        parameters), or ``"adam"`` (first-order, robust for long rollouts).
         """
         y0s = jnp.array([data["ys"][ind[0]] for ind in inds])
         values = jnp.array(
@@ -258,7 +260,7 @@ class PDEModel:
         opt_params, opt_static = ptree.partition(opt_parameters)
         opt_params = ptree.as_arrays(opt_params)
 
-        if method == "least_squares":
+        if method in ("least_squares", "least_squares_jit"):
             flat0, unravel = ptree.ravel_params(opt_parameters)
 
             def residuals_flat(theta, y0s_, values_):
@@ -277,10 +279,17 @@ class PDEModel:
 
             # Data enters as jit *arguments* (not closures) so trajectory
             # arrays are never baked into the executable as constants.
-            sol = least_squares_lm(
-                residuals_flat, flat0, args=(y0s, values),
-                max_steps=max_steps, rtol=1e-8, atol=1e-8, verbose=verbose,
-            )
+            if method == "least_squares_jit":
+                sol = least_squares_lm_jitted(
+                    residuals_flat, flat0, args=(y0s, values),
+                    max_steps=max_steps, rtol=1e-8, atol=1e-8,
+                )
+            else:
+                sol = least_squares_lm(
+                    residuals_flat, flat0, args=(y0s, values),
+                    max_steps=max_steps, rtol=1e-8, atol=1e-8,
+                    verbose=verbose,
+                )
             res = unravel(sol.params)
             return {**res, **other_parameters}
 

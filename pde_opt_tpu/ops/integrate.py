@@ -181,9 +181,16 @@ def integrate(
 # Adaptive (PID-controlled) driver
 # ---------------------------------------------------------------------------
 
-def _rms_norm(err, y0, y1, rtol, atol):
+def _rms_norm(err, y0, y1, rtol, atol, batch_ndim: int = 0):
+    """Scaled RMS error norm; with ``batch_ndim`` leading batch axes the
+    norm is taken per instance and the MAX across the batch controls dt —
+    every instance's tolerance is respected (conservative lockstep) instead
+    of being silently averaged away across the batch."""
     scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
     ratio = err / scale
+    if batch_ndim:
+        axes = tuple(range(batch_ndim, ratio.ndim))
+        return jnp.max(jnp.sqrt(jnp.mean(ratio**2, axis=axes)))
     return jnp.sqrt(jnp.mean(ratio**2))
 
 
@@ -200,6 +207,7 @@ def integrate_adaptive(
     factor_min: float = 0.2,
     factor_max: float = 10.0,
     return_stats: bool = False,
+    batch_ndim: int = 0,
 ):
     """Adaptive-step integration with dense save-at (linear interpolation).
 
@@ -210,9 +218,13 @@ def integrate_adaptive(
     steps (``diffrax.LocalLinearInterpolation`` semantics — what both custom
     reference solvers declare, ``solvers.py:48,91``).
 
-    Adaptive stepping is inherently not lockstep-batchable; it exists for the
-    single-instance model paths (AC/SBM notebooks, Shape smoothing).  Env
-    fleets use fixed-dt :func:`evolve`.
+    Adaptive stepping is primarily for the single-instance model paths
+    (AC/SBM notebooks, Shape smoothing); env fleets use fixed-dt
+    :func:`evolve`.  For a batched ``y0``, pass ``batch_ndim`` (number of
+    leading batch axes): the controller then takes each instance's error
+    norm separately and lets the strictest one govern the shared lockstep
+    dt — without it a batched state's errors would be silently RMS-averaged
+    across the batch, loosening every instance's tolerance.
 
     Returns ``ys`` of shape ``(len(ts), *y0.shape)`` (and, if requested, a
     stats dict with accepted/rejected step counts).
@@ -231,7 +243,7 @@ def integrate_adaptive(
         (t, y, dt, save_idx, n_acc, n_rej), buf = carry
         dt = jnp.minimum(dt, t_final - t)
         y1, y_err = stepper.step(rhs, y, t, dt)
-        err_norm = _rms_norm(y_err, y, y1, rtol, atol)
+        err_norm = _rms_norm(y_err, y, y1, rtol, atol, batch_ndim)
         accept = err_norm <= 1.0
 
         exponent = -1.0 / (stepper.order + 1.0)

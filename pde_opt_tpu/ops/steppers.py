@@ -32,6 +32,7 @@ __all__ = [
     "SemiImplicitFourierSpectral",
     "SemiImplicitDenseSolve",
     "FusedSemiImplicitSpectral",
+    "FusedSemiImplicitSpectral3D",
     "FusedAllenCahnSpectral",
     "StrangSplitting",
     "DirectionalSplitting",
@@ -368,7 +369,10 @@ class FusedAllenCahnSpectral(AbstractStepper):
     order = 1
 
     def __init__(self, kappa, mu, R, domain, A: float = 1.0,
-                 block_envs=None, mats_dtype=None, interpret=None):
+                 block_envs=None, mats_dtype=None, interpret=None,
+                 algo: str = "cas"):
+        if algo not in ("cas", "dft"):
+            raise ValueError(f"algo must be 'cas' or 'dft', got {algo!r}")
         self.kappa = kappa
         self.mu = mu
         self.R = R
@@ -377,6 +381,7 @@ class FusedAllenCahnSpectral(AbstractStepper):
         self.block_envs = block_envs
         self.mats_dtype = mats_dtype
         self.interpret = interpret
+        self.algo = algo
 
     def evolve(self, rhs, y0, t0, dt, n_steps, unroll=1):
         del rhs, t0, unroll
@@ -384,16 +389,28 @@ class FusedAllenCahnSpectral(AbstractStepper):
             raise TypeError(
                 "FusedAllenCahnSpectral requires trace-time concrete dt"
             )
-        from .fused_spectral import make_ac_sif_fused_macro
+        if self.algo == "cas":
+            # Env-packed Hartley kernel: full-depth matmuls with
+            # (128//H)*(128//W) envs per tile (see ops/cas_spectral.py).
+            from .cas_spectral import make_ac_cas_fused_macro as mk
+
+            def build(H, W, hx, hy, **kw):
+                return mk(self.mu, self.R, H, W, hx, hy, self.A,
+                          float(dt), int(n_steps), **kw)
+        else:
+            from .fused_spectral import make_ac_sif_fused_macro as mk_dft
+
+            def build(H, W, hx, hy, **kw):
+                return mk_dft(self.mu, self.R, H, W, hx, hy, self.A,
+                              float(dt), int(n_steps), **kw)
 
         H, W = self.domain.points
         hx, hy = self.domain.dx
         kwargs = {}
         if self.mats_dtype is not None:
             kwargs["mats_dtype"] = self.mats_dtype
-        macro = make_ac_sif_fused_macro(
-            self.mu, self.R, H, W, float(hx), float(hy), self.A, float(dt),
-            int(n_steps), block_envs=self.block_envs,
+        macro = build(
+            H, W, float(hx), float(hy), block_envs=self.block_envs,
             interpret=self.interpret, **kwargs,
         )
         return macro(y0, self.kappa)
@@ -401,6 +418,63 @@ class FusedAllenCahnSpectral(AbstractStepper):
     def step(self, rhs, y, t, dt):
         y1 = self.evolve(rhs, y, t, dt, 1)
         return y1, None
+
+
+class FusedSemiImplicitSpectral3D(AbstractStepper):
+    """3D whole-segment semi-implicit CH stepper on cas-transform matmuls.
+
+    XLA-einsum analog of :class:`FusedSemiImplicitSpectral` for rank-3
+    domains (see :mod:`pde_opt_tpu.ops.cas3d`): the spectrum is carried
+    across substeps and each substep is 6 MXU matmuls instead of ~7 FFT
+    passes.  Unit mobility (``D == 1``), elementwise ``mu``; natively
+    differentiable (plain XLA).
+    """
+
+    required_equation_attrs = ("kappa", "mu", "D", "domain")
+    order = 1
+
+    def __init__(self, kappa, mu, D, domain, A: float = 1.0,
+                 mats_dtype=None):
+        self.kappa = kappa
+        self.mu = mu
+        self.domain = domain
+        self.A = float(A)
+        self.mats_dtype = mats_dtype
+        try:
+            probe = D(jnp.linspace(0.1, 0.9, 4))
+            import numpy as _np
+
+            if not _np.allclose(_np.asarray(probe), 1.0):
+                raise ValueError(
+                    "FusedSemiImplicitSpectral3D requires unit mobility "
+                    "(D == 1); use SemiImplicitFourierSpectral otherwise."
+                )
+        except ValueError:
+            raise
+        except Exception:
+            pass
+
+    def evolve(self, rhs, y0, t0, dt, n_steps, unroll=1):
+        del rhs, t0, unroll
+        if isinstance(dt, jax.core.Tracer):
+            raise TypeError(
+                "FusedSemiImplicitSpectral3D requires trace-time concrete dt"
+            )
+        from .cas3d import make_ch3d_cas_macro
+
+        N1, N2, N3 = self.domain.points
+        h1, h2, h3 = self.domain.dx
+        kwargs = {}
+        if self.mats_dtype is not None:
+            kwargs["mats_dtype"] = self.mats_dtype
+        macro = make_ch3d_cas_macro(
+            self.mu, N1, N2, N3, float(h1), float(h2), float(h3),
+            self.A, float(dt), int(n_steps), **kwargs,
+        )
+        return macro(y0, self.kappa)
+
+    def step(self, rhs, y, t, dt):
+        return self.evolve(rhs, y, t, dt, 1), None
 
 
 class StrangSplitting(AbstractStepper):
@@ -424,12 +498,16 @@ class StrangSplitting(AbstractStepper):
     required_equation_attrs = ("A_term", "dx", "fft", "ifft")
     order = 1
 
-    def __init__(self, A_term, dx, fft, ifft, time_scale=1.0):
+    def __init__(self, A_term, dx, fft, ifft, time_scale=1.0,
+                 fast_evolve: bool = False):
         self.A_term = A_term
         self.dx = dx
         self.fft = fft
         self.ifft = ifft
         self.time_scale = time_scale
+        # fast_evolve: multi-step rollouts merge the trailing/leading A
+        # half-steps of consecutive substeps (see evolve()).
+        self.fast_evolve = fast_evolve
 
     def step(self, rhs, y, t, dt):
         dt = dt * self.time_scale
@@ -451,14 +529,71 @@ class StrangSplitting(AbstractStepper):
         y1 = jnp.stack([y1c.real, y1c.imag], axis=-1)
         return y1, None
 
+    def evolve(self, rhs, y0, t0, dt, n_steps, unroll=1):
+        """Advance ``n_steps`` split steps; with ``fast_evolve`` the
+        trailing and leading A half-steps of consecutive substeps merge
+        into one full exponential — the standard *midpoint* Strang scheme
+        (B evaluated at the half-propagated state): 2 FFT pairs per substep
+        instead of 4, and formally 2nd-order where the reference's
+        B-at-step-input variant is 1st.  Not bit-identical to per-step
+        reference semantics; parity tests use :meth:`step`."""
+        if not self.fast_evolve:
+            def body(y, i):
+                y1, _ = self.step(rhs, y, t0 + i * dt, dt)
+                y1 = jax.tree_util.tree_map(
+                    lambda a, b: a.astype(b.dtype), y1, y
+                )
+                return y1, None
+
+            yT, _ = jax.lax.scan(body, y0, jnp.arange(n_steps),
+                                 unroll=unroll)
+            return yT
+
+        dtc = dt * self.time_scale
+        ndim_spatial = jnp.ndim(self.A_term)
+        axes = tuple(range(-ndim_spatial, 0))
+        # Pin the complex working dtype to the state's precision so the
+        # scan carry stays type-stable (x64 mode would promote through the
+        # complex128 A_term constants).
+        cdtype = jnp.result_type(y0.dtype, jnp.complex64)
+        expA_half = jnp.exp(self.A_term * 0.5 * dtc).astype(cdtype)
+        expA_full = expA_half * expA_half
+        yc = (y0[..., 0] + 1j * y0[..., 1]).astype(cdtype)
+
+        def apply_B_renorm(psi, t):
+            stacked = jnp.stack([psi.real, psi.imag], axis=-1)
+            b = rhs(stacked, t)
+            psi = psi * jnp.exp((b[..., 0] + 1j * b[..., 1]) * dtc)
+            norm = jnp.sqrt(
+                jnp.sum(jnp.abs(psi) ** 2, axis=axes, keepdims=True)
+                * self.dx**2
+            )
+            return (psi / norm).astype(cdtype)
+
+        psi = self.ifft(self.fft(yc) * expA_half)
+        if n_steps > 1:
+            def body(p, i):
+                p = apply_B_renorm(p, t0 + i * dt)
+                p = self.ifft(self.fft(p) * expA_full).astype(cdtype)
+                return p, None
+
+            psi, _ = jax.lax.scan(body, psi, jnp.arange(n_steps - 1),
+                                  unroll=unroll)
+        psi = apply_B_renorm(psi, t0 + (n_steps - 1) * dt)
+        psi = self.ifft(self.fft(psi) * expA_half)
+        out = jnp.stack([psi.real, psi.imag], axis=-1)
+        return out.astype(y0.dtype)
+
     def __hash__(self):
-        return hash((type(self), complex(self.time_scale), float(self.dx)))
+        return hash((type(self), complex(self.time_scale), float(self.dx),
+                     self.fast_evolve))
 
     def __eq__(self, other):
         return (
             type(self) is type(other)
             and self.time_scale == other.time_scale
             and self.dx == other.dx
+            and self.fast_evolve == other.fast_evolve
         )
 
 

@@ -23,7 +23,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["least_squares_lm", "LMResult"]
+__all__ = ["least_squares_lm", "least_squares_lm_jitted", "LMResult"]
 
 
 class LMResult(NamedTuple):
@@ -124,3 +124,99 @@ def least_squares_lm(
             converged = True
             break
     return LMResult(params=theta, loss=jnp.asarray(loss), steps=step, converged=converged)
+
+
+def least_squares_lm_jitted(
+    residual_fn: Callable,
+    theta0,
+    args=(),
+    max_steps: int = 100,
+    rtol: float = 1e-8,
+    atol: float = 1e-8,
+    lambda0: float = 1e-3,
+    lambda_up: float = 4.0,
+    lambda_down: float = 3.0,
+    max_damping_tries: int = 15,
+):
+    """TPU-resident Levenberg-Marquardt: the whole solve is ONE jitted
+    ``lax.while_loop`` — no per-iteration host sync (the host-loop variant
+    fetches a scalar loss every step, which serializes against the device).
+
+    Same accept/reject trust-region schedule and convergence semantics as
+    :func:`least_squares_lm` (stall at max damping reports
+    ``converged=False``).  Verbose logging is the host loop's job; use this
+    variant for training loops that must stay on device.
+    """
+    theta0 = jnp.asarray(theta0)
+    args = tuple(args)
+
+    def flat_residual(theta, *a):
+        res = residual_fn(theta, *a)
+        leaves = jax.tree_util.tree_leaves(res)
+        return jnp.concatenate([jnp.ravel(l) for l in leaves])
+
+    def solve_step(theta, r, J, lam):
+        JtJ = J.T @ J
+        diag = jnp.diag(jnp.diag(JtJ))
+        diag = jnp.where(jnp.abs(diag) < 1e-12, 1e-12, diag)
+        g = J.T @ r
+        return theta - jnp.linalg.solve(JtJ + lam * diag, g)
+
+    def loss_of(theta, *a):
+        r = flat_residual(theta, *a)
+        return 0.5 * jnp.sum(r**2)
+
+    @jax.jit
+    def run(theta0, *a):
+        loss0 = loss_of(theta0, *a)
+
+        # carry: (theta, lam, loss, step, done, converged)
+        def outer_cond(c):
+            _, _, _, step, done, _ = c
+            return (~done) & (step < max_steps)
+
+        def outer_body(c):
+            theta, lam, loss, step, _, _ = c
+            r = flat_residual(theta, *a)
+            J = jax.jacfwd(flat_residual)(theta, *a)
+
+            # Damping escalation: accept the first lambda whose step
+            # improves the loss, up to max_damping_tries.
+            def damp_cond(d):
+                _, _, _, accepted, tries = d
+                return (~accepted) & (tries < max_damping_tries)
+
+            def damp_body(d):
+                lam_d, th_best, loss_best, _, tries = d
+                th_new = solve_step(theta, r, J, lam_d)
+                loss_new = loss_of(th_new, *a)
+                ok = jnp.isfinite(loss_new) & (loss_new < loss)
+                th_best = jnp.where(ok, th_new, th_best)
+                loss_best = jnp.where(ok, loss_new, loss_best)
+                lam_d = jnp.where(ok, lam_d, lam_d * lambda_up)
+                return (lam_d, th_best, loss_best, ok, tries + 1)
+
+            lam_f, th_new, loss_new, accepted, _ = jax.lax.while_loop(
+                damp_cond, damp_body,
+                (lam, theta, loss, jnp.asarray(False), jnp.asarray(0)),
+            )
+            improvement = loss - loss_new
+            small = improvement < rtol * jnp.abs(loss_new) + atol
+            theta = jnp.where(accepted, th_new, theta)
+            loss = jnp.where(accepted, loss_new, loss)
+            lam = jnp.where(accepted,
+                            jnp.maximum(lam_f / lambda_down, 1e-12), lam_f)
+            done = (~accepted) | (accepted & small)
+            converged = accepted & small
+            return (theta, lam, loss, step + 1, done, converged)
+
+        init = (theta0, jnp.asarray(lambda0, theta0.dtype), loss0,
+                jnp.asarray(0), jnp.asarray(False), jnp.asarray(False))
+        theta, lam, loss, step, done, converged = jax.lax.while_loop(
+            outer_cond, outer_body, init
+        )
+        return theta, loss, step, converged
+
+    theta, loss, step, converged = run(theta0, *args)
+    return LMResult(params=theta, loss=loss, steps=int(step),
+                    converged=bool(converged))

@@ -191,7 +191,10 @@ def make_ppo_train_step(env, config: PPOConfig, optimizer=None):
         )
         adv_f, ret_f = adv.reshape(N), ret.reshape(N)
 
-        mb = N // config.minibatches
+        # Ceil-sized minibatches: when N % minibatches != 0 the permutation
+        # is cyclically extended, so every sample is used each epoch (a few
+        # are seen twice) instead of silently dropping the trailing ones.
+        mb = -(-N // config.minibatches)
 
         def epoch(carry, ekey):
             params, opt_state = carry
@@ -208,7 +211,7 @@ def make_ppo_train_step(env, config: PPOConfig, optimizer=None):
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), (loss, *aux)
 
-            idxs = perm[: mb * config.minibatches].reshape(
+            idxs = jnp.resize(perm, (config.minibatches * mb,)).reshape(
                 config.minibatches, mb
             )
             (params, opt_state), stats = jax.lax.scan(
@@ -234,7 +237,7 @@ def make_ppo_train_step(env, config: PPOConfig, optimizer=None):
 
 def ppo_train(env, params, config: PPOConfig, num_updates: int,
               key=None, log_fn: Callable = None, mesh=None,
-              shard_axis: str = "env"):
+              shard_axis: str = "env", metrics_every: int = 1):
     """Host convenience loop: returns ``(params, metrics_history)``.
 
     Pass ``mesh`` (e.g. from :func:`pde_opt_tpu.parallel.make_mesh`) to run
@@ -269,8 +272,12 @@ def ppo_train(env, params, config: PPOConfig, num_updates: int,
         params, opt_state, env_state, key, metrics = train_step(
             params, opt_state, env_state, key
         )
-        metrics = {k: float(v) for k, v in metrics.items()}
-        history.append(metrics)
-        if log_fn is not None:
-            log_fn(update, metrics)
+        # The float() conversions force a device sync; fetch only every
+        # ``metrics_every`` updates (and the last) so back-to-back train
+        # steps stay enqueued on device.
+        if (update + 1) % metrics_every == 0 or update == num_updates - 1:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            history.append(metrics)
+            if log_fn is not None:
+                log_fn(update, metrics)
     return params, history

@@ -1,0 +1,168 @@
+"""Generate golden-trajectory fixtures for fixed-seed parity tests.
+
+Pure **numpy float64** re-derivations of the reference solver semantics —
+independent of jax and of the pde_opt_tpu package — rolled forward from
+committed initial conditions and saved to ``tests/goldens/*.npz``.  The
+parity tests (``tests/test_golden_parity.py``) then integrate the SAME
+initial conditions through this framework's steppers and assert array-level
+agreement, making BASELINE's "exact fixed-seed trajectory match at matched
+grid/dt" an executable gate.
+
+Why numpy and not the reference itself: the reference's runtime stack
+(diffrax/equinox/optimistix) is not installed in this image, so its solvers
+cannot execute here.  The update formulas below are transcribed from the
+reference source and cited line-by-line:
+
+* semi-implicit Fourier-spectral step
+  ``y1 = y0 + dt * Re ifft( fft(rhs(y0)) / (1 + A*dt*symbol) )``
+  — /root/reference/pde_opt/numerics/solvers.py:56-70
+* Cahn-Hilliard spectral rhs (variable mobility)
+  — /root/reference/pde_opt/numerics/equations/cahn_hilliard.py:82-87
+* Cahn-Hilliard conservative FD rhs (face fluxes)
+  — /root/reference/pde_opt/numerics/equations/cahn_hilliard.py:89-109
+* Strang split step with per-step L2 renormalization, B evaluated at y0
+  — /root/reference/pde_opt/numerics/solvers.py:99-122
+
+Run from the repo root: ``python scripts/gen_goldens.py``.
+"""
+
+import os
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "goldens")
+
+
+def mu(c):
+    return c**3 - c
+
+
+def D(c):
+    return 1.0 + 0.1 * c**2
+
+
+# ---------------------------------------------------------------------------
+# Cahn-Hilliard, 64x64, semi-implicit Fourier spectral
+# ---------------------------------------------------------------------------
+
+def gen_ch2d(derivs: str, fname: str):
+    N = 64
+    dx = 0.01
+    kappa = 0.004
+    A = 0.5
+    dt = 1e-6
+    n_steps = 40
+    save_every = 10
+
+    rng = np.random.default_rng(12345)
+    u0 = 0.5 + 0.05 * rng.standard_normal((N, N))
+
+    kx, ky = np.meshgrid(np.fft.fftfreq(N, dx), np.fft.fftfreq(N, dx),
+                         indexing="ij")
+    tpikx = 2j * np.pi * kx
+    tpiky = 2j * np.pi * ky
+    tpik2 = tpikx**2 + tpiky**2
+    symbol = kappa * tpik2**2                      # real >= 0
+
+    def rhs_fourier(u):
+        uhat = np.fft.fftn(u)
+        mu_hat = np.fft.fftn(mu(u)) - kappa * tpik2 * uhat
+        Du = D(u)
+        fx = np.fft.fftn(Du * np.fft.ifftn(tpikx * mu_hat))
+        fy = np.fft.fftn(Du * np.fft.ifftn(tpiky * mu_hat))
+        return np.real(np.fft.ifftn(tpikx * fx + tpiky * fy))
+
+    def rhs_fd(u):
+        lap = (
+            (np.roll(u, -1, 0) - 2 * u + np.roll(u, 1, 0)) / dx**2
+            + (np.roll(u, -1, 1) - 2 * u + np.roll(u, 1, 1)) / dx**2
+        )
+        m = mu(u) - kappa * lap
+        Du = D(u)
+        out = np.zeros_like(u)
+        for ax in (0, 1):
+            grad_f = (np.roll(m, -1, ax) - m) / dx          # center->face
+            avg_f = 0.5 * (Du + np.roll(Du, -1, ax))
+            F = avg_f * grad_f
+            out += (F - np.roll(F, 1, ax)) / dx             # face->center
+        return out
+
+    rhs = rhs_fourier if derivs == "fourier" else rhs_fd
+
+    traj = [u0.copy()]
+    u = u0.copy()
+    for k in range(1, n_steps + 1):
+        f0 = rhs(u)
+        u = u + dt * np.real(np.fft.ifftn(np.fft.fftn(f0) / (1.0 + A * dt * symbol)))
+        if k % save_every == 0:
+            traj.append(u.copy())
+
+    np.savez_compressed(
+        os.path.join(OUT, fname),
+        u0=u0, traj=np.stack(traj), kappa=kappa, A=A, dt=dt,
+        n_steps=n_steps, save_every=save_every, dx=dx, N=N,
+    )
+    print(f"{fname}: traj {np.stack(traj).shape}, final range "
+          f"[{u.min():.4f}, {u.max():.4f}]")
+
+
+# ---------------------------------------------------------------------------
+# Strang split step, 64x64, imaginary-time GPE-style propagation
+# ---------------------------------------------------------------------------
+
+def gen_strang_imag():
+    N = 64
+    L = 16.0
+    dx = L / N
+    dt = 1e-3
+    n_steps = 30
+    save_every = 10
+    g = 100.0
+
+    x = np.linspace(-L / 2 + dx / 2, L / 2 - dx / 2, N)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    V = 0.5 * (X**2 + Y**2)
+
+    kx, ky = np.meshgrid(np.fft.fftfreq(N, dx), np.fft.fftfreq(N, dx),
+                         indexing="ij")
+    # kinetic symbol of i dpsi/dt = -1/2 lap psi: A = -i*(2 pi k)^2 / 2
+    A_term = -0.5j * ((2 * np.pi * kx) ** 2 + (2 * np.pi * ky) ** 2)
+
+    rng = np.random.default_rng(777)
+    psi0 = np.exp(-(X**2 + Y**2) / 4.0) * (1.0 + 0.05 * rng.standard_normal((N, N)))
+    psi0 = psi0 / np.sqrt(np.sum(np.abs(psi0) ** 2) * dx**2)
+    psi0 = psi0.astype(np.complex128)
+
+    time_scale = -1j                                # imaginary time
+    dtc = dt * time_scale
+
+    def B(psi):
+        return -1j * (V + g * np.abs(psi) ** 2)
+
+    traj = [psi0.copy()]
+    psi = psi0.copy()
+    for k in range(1, n_steps + 1):
+        expA = np.exp(A_term * 0.5 * dtc)
+        tmp = np.fft.ifftn(np.fft.fftn(psi) * expA)
+        b = B(psi)                                  # B at y0, per reference
+        tmp = tmp * np.exp(b * dtc)
+        tmp = tmp / np.sqrt(np.sum(np.abs(tmp) ** 2) * dx**2)
+        psi = np.fft.ifftn(np.fft.fftn(tmp) * expA)
+        if k % save_every == 0:
+            traj.append(psi.copy())
+
+    np.savez_compressed(
+        os.path.join(OUT, "gpe_strang_imag.npz"),
+        psi0=psi0, traj=np.stack(traj), A_term=A_term, V=V, g=g,
+        dx=dx, dt=dt, n_steps=n_steps, save_every=save_every, N=N, L=L,
+    )
+    print(f"gpe_strang_imag: traj {np.stack(traj).shape}, "
+          f"norm {np.sum(np.abs(psi)**2) * dx**2:.6f}")
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT, exist_ok=True)
+    gen_ch2d("fourier", "ch2d_sif_fourier.npz")
+    gen_ch2d("fd", "ch2d_sif_fd.npz")
+    gen_strang_imag()

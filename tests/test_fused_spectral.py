@@ -141,3 +141,46 @@ def test_fused_ac_stepper_via_evolve():
     assert u1.shape == u0.shape
     assert bool(jnp.isfinite(u1).all())
     assert float(jnp.max(jnp.abs(u1 - u0))) > 1e-8
+
+
+def test_ac_cas_macro_matches_fft_reference():
+    """Env-packed cas AC kernel == the AC FFT oracle (spectral lap ==
+    roll-stencil lap for periodic fields)."""
+    from pde_opt_tpu.ops.cas_spectral import make_ac_cas_fused_macro
+    from pde_opt_tpu.ops.fused_spectral import ac_sif_macro_reference
+
+    B, H, W = 6, 16, 16
+    hx, hy = 0.01, 0.02
+    A, dt, n = 1.0, 1e-4, 3
+    R = lambda c: 1.0 + 0.5 * c**2
+    u = 0.1 * jax.random.normal(jax.random.PRNGKey(7), (B, H, W))
+    u = u.astype(jnp.float32)
+    kappa = jnp.linspace(1e-4, 1e-3, B)
+    fused = make_ac_cas_fused_macro(
+        mu, R, H, W, hx, hy, A, dt, n, mats_dtype=jnp.float32, interpret=True
+    )
+    ref = ac_sif_macro_reference(mu, R, hx, hy, A, dt, n)
+    np.testing.assert_allclose(np.asarray(fused(u, kappa)),
+                               np.asarray(ref(u, kappa)), rtol=0, atol=5e-5)
+
+
+def test_ac_cas_macro_grad_and_ragged_batch():
+    from pde_opt_tpu.ops.cas_spectral import make_ac_cas_fused_macro
+    from pde_opt_tpu.ops.fused_spectral import ac_sif_macro_reference
+
+    B, H, W = 5, 16, 16  # ragged vs pack=64 at 16x16
+    R = lambda c: jnp.ones_like(c)
+    u = 0.1 * jax.random.normal(jax.random.PRNGKey(8), (B, H, W))
+    u = u.astype(jnp.float32)
+    kappa = jnp.full((B,), 5e-4, jnp.float32)
+    fused = make_ac_cas_fused_macro(
+        mu, R, H, W, 0.01, 0.01, 1.0, 1e-4, 2,
+        mats_dtype=jnp.float32, interpret=True,
+    )
+    ref = ac_sif_macro_reference(mu, R, 0.01, 0.01, 1.0, 1e-4, 2)
+    np.testing.assert_allclose(np.asarray(fused(u, kappa)),
+                               np.asarray(ref(u, kappa)), rtol=0, atol=5e-5)
+    gk_f = jax.grad(lambda kk: jnp.sum(fused(u, kk) ** 2))(kappa)
+    gk_r = jax.grad(lambda kk: jnp.sum(ref(u, kk) ** 2))(kappa)
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_r),
+                               rtol=1e-3, atol=1e-7)

@@ -1,0 +1,105 @@
+"""Fixed-trajectory parity against committed golden fixtures.
+
+The goldens (``tests/goldens/*.npz``, generated once by
+``scripts/gen_goldens.py``) are pure-numpy float64 re-derivations of the
+reference solver semantics — the semi-implicit Fourier-spectral step
+(``/root/reference/pde_opt/numerics/solvers.py:56-70``) over the reference's
+spectral and conservative-FD Cahn-Hilliard RHS forms
+(``cahn_hilliard.py:82-109``), and the Strang split step with per-step L2
+renormalization (``solvers.py:99-122``) — advanced from committed initial
+conditions.  These tests integrate the SAME initial conditions through this
+framework's steppers at float64 and assert array-level agreement at every
+save point, making BASELINE's "exact fixed-seed trajectory match at matched
+grid/dt" an executable gate rather than a design claim.
+
+(The reference's own runtime stack is not installed in this image, so the
+oracle is an independent numpy implementation of its cited update formulas
+rather than a literal diffrax run.)
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_opt_tpu.grid import Domain
+from pde_opt_tpu.models.cahn_hilliard import CahnHilliard2DPeriodic
+from pde_opt_tpu.ops.integrate import evolve
+from pde_opt_tpu.ops.steppers import SemiImplicitFourierSpectral, StrangSplitting
+from pde_opt_tpu.utils.compat import prepare_solver_params
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def mu(c):
+    return c**3 - c
+
+
+def D(c):
+    return 1.0 + 0.1 * c**2
+
+
+@pytest.mark.parametrize("fname,derivs", [
+    ("ch2d_sif_fourier.npz", "fourier"),
+    ("ch2d_sif_fd.npz", "fd"),
+])
+def test_ch2d_sif_trajectory_matches_golden(fname, derivs):
+    z = np.load(os.path.join(GOLDENS, fname))
+    N, dx = int(z["N"]), float(z["dx"])
+    dt, A = float(z["dt"]), float(z["A"])
+    n_steps, save_every = int(z["n_steps"]), int(z["save_every"])
+
+    L = N * dx
+    domain = Domain((N, N), ((-L / 2, L / 2), (-L / 2, L / 2)),
+                    "dimensionless", dtype=jnp.float64)
+    # use_rfft=False reproduces the reference's full-fftn semantics exactly.
+    eq = CahnHilliard2DPeriodic(domain, float(z["kappa"]), mu, D,
+                                derivs=derivs, use_rfft=False)
+    solver = SemiImplicitFourierSpectral(
+        **prepare_solver_params(SemiImplicitFourierSpectral, {"A": A}, eq)
+    )
+
+    u = jnp.asarray(z["u0"], jnp.float64)
+    traj = [np.asarray(u)]
+    for _ in range(n_steps // save_every):
+        u = evolve(solver, eq.rhs, u, 0.0, dt, save_every)
+        traj.append(np.asarray(u))
+
+    np.testing.assert_allclose(np.stack(traj), z["traj"], rtol=0, atol=1e-10)
+
+
+def test_strang_imaginary_time_trajectory_matches_golden():
+    z = np.load(os.path.join(GOLDENS, "gpe_strang_imag.npz"))
+    dx, dt = float(z["dx"]), float(z["dt"])
+    n_steps, save_every = int(z["n_steps"]), int(z["save_every"])
+    V = jnp.asarray(z["V"], jnp.float64)
+    g = float(z["g"])
+
+    solver = StrangSplitting(
+        A_term=jnp.asarray(z["A_term"]),
+        dx=dx,
+        fft=lambda a: jnp.fft.fftn(a, axes=(-2, -1)),
+        ifft=lambda a: jnp.fft.ifftn(a, axes=(-2, -1)),
+        time_scale=-1j,
+    )
+
+    def rhs(y, t):
+        # B term, stacked (Re, Im) as the stepper contract requires;
+        # evaluated at the pre-step state (matching the reference).
+        psi2 = y[..., 0] ** 2 + y[..., 1] ** 2
+        b = -1j * (V + g * psi2)
+        return jnp.stack([b.real, b.imag], axis=-1)
+
+    psi0 = np.asarray(z["psi0"])
+    y = jnp.stack(
+        [jnp.asarray(psi0.real, jnp.float64), jnp.asarray(psi0.imag, jnp.float64)],
+        axis=-1,
+    )
+    traj = [psi0]
+    for _ in range(n_steps // save_every):
+        y = evolve(solver, rhs, y, 0.0, dt, save_every)
+        traj.append(np.asarray(y[..., 0] + 1j * y[..., 1]))
+
+    np.testing.assert_allclose(np.stack(traj), z["traj"], rtol=0, atol=1e-10)

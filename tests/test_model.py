@@ -153,3 +153,38 @@ def test_optimize_objective_control():
         dt0=DT0,
     )
     assert abs(res["kappa"] - target) < 5e-4
+
+
+def test_train_least_squares_jitted_recovers_kappa():
+    """The TPU-resident (single while_loop) LM matches the host-loop fit."""
+    domain = _domain()
+    model = _model(domain)
+    data = _make_data(model, MU, DCONST)
+    inds = [[0, 2, 4], [4, 6, 8]]
+    res = model.train(
+        data, inds,
+        opt_parameters={"kappa": 0.004},
+        other_parameters={"mu": MU, "D": DCONST, "derivs": "fd"},
+        solver_parameters={"A": 0.5},
+        weights={"kappa": None},
+        lambda_reg=0.0,
+        method="least_squares_jit",
+        max_steps=30,
+        dt0=DT0,
+    )
+    assert abs(res["kappa"] - KAPPA_TRUE) < 2e-5
+
+
+def test_lm_jitted_reports_stall_as_not_converged():
+    from pde_opt_tpu.optim import least_squares_lm, least_squares_lm_jitted
+
+    # Residual with a floor at a nonzero value and a cliff to NaN for any
+    # step away from theta0: no damping level can improve -> stall.
+    def residual(theta):
+        return jnp.where(jnp.all(theta == 1.0), jnp.ones(3),
+                         jnp.full(3, jnp.nan))
+
+    theta0 = jnp.ones(2)
+    for solver in (least_squares_lm, least_squares_lm_jitted):
+        out = solver(residual, theta0, max_steps=5)
+        assert not out.converged

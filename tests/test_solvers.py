@@ -229,3 +229,30 @@ def test_implicit_euler_stiff_diffusion():
     # Decay factor per step for mode k=pi/2 (domain [-1,1] cell-centered):
     lam = 4 / hx**2 * np.sin(np.pi * hx / 2 / 2) ** 2 * 4  # approx pi^2/4... just check decay
     assert float(jnp.max(jnp.abs(y))) < float(jnp.max(jnp.abs(y0)))
+
+
+def test_integrate_adaptive_batched_per_instance_error_control():
+    """batch_ndim: the strictest instance governs the shared lockstep dt,
+    so each batched instance is as accurate as solving it alone."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pde_opt_tpu.ops.integrate import integrate_adaptive
+    from pde_opt_tpu.ops.steppers import Heun
+
+    # Two exponential decays with very different stiffness.
+    lam = jnp.array([-1.0, -40.0])
+
+    def rhs(y, t):
+        return lam.reshape(-1, *([1] * (y.ndim - 1))) * y
+
+    y0 = jnp.ones((2, 4))
+    ts = jnp.linspace(0.0, 1.0, 5)
+    ys, stats = integrate_adaptive(
+        Heun(), rhs, y0, ts, dt0=0.1, rtol=1e-6, atol=1e-9,
+        batch_ndim=1, return_stats=True,
+    )
+    exact = jnp.exp(lam[None, :, None] * ts[:, None, None]) * y0[None]
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(exact),
+                               rtol=1e-4, atol=1e-7)
+    assert int(stats["accepted_steps"]) > 10  # the stiff row forced small dt
