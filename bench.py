@@ -135,13 +135,20 @@ def bench_ac64(platform):
 
 
 def bench_gpe64(platform):
+    """GPE Strang fleet: fused cas kernel vs merged-FFT path."""
     if platform == "cpu":
         return None
     from pde_opt_tpu.envs.presets import make_gpe_control_env
 
-    env = make_gpe_control_env(num_envs=1024, grid_size=GRID, substeps=SUBSTEPS)
-    rate, _ = _rollout_rate(env, 1024, 50, key0=30)
-    return rate
+    out = {}
+    for mode in ("fused", "fft"):
+        env = make_gpe_control_env(
+            num_envs=1024, grid_size=GRID, substeps=SUBSTEPS,
+            spectral_solve=mode,
+        )
+        rate, _ = _rollout_rate(env, 1024, 50, key0=30)
+        out[mode] = rate
+    return out
 
 
 def bench_ch3d(platform):
@@ -315,7 +322,9 @@ def main():
         r = bench_gpe64(platform)
         if r:
             configs["gpe_strang_64x64_1024envs"] = {
-                "env_steps_per_s": round(r, 1)}
+                f"{k}_env_steps_per_s": round(v, 1)
+                for k, v in r.items() if v
+            }
         r = bench_ch3d(platform)
         if r:
             configs["ch3d_32cubed_256batch_substeps"] = {

@@ -202,6 +202,7 @@ def make_gpe_control_env(
     k_interaction: float = 100.0,
     spot_width: float = 1.0,
     box_size: float = 16.0,
+    spectral_solve: str = "fused",
 ) -> VectorPDEEnv:
     """Gross-Pitaevskii control fleet: the agent drives an optical spot.
 
@@ -215,7 +216,7 @@ def make_gpe_control_env(
     OUT of the spot region (the agent learns to stir with the light).
     """
     from ..models.gross_pitaevskii import GPE2DTSControl
-    from ..ops.steppers import StrangSplitting
+    from ..ops.steppers import FusedStrangControl, StrangSplitting
 
     L = box_size
     domain = gridmod.Domain(
@@ -246,10 +247,22 @@ def make_gpe_control_env(
         rho = y[..., 0] ** 2 + y[..., 1] ** 2               # (H, W)
         return jnp.sum(rho * spot) * dx * dx
 
+    if spectral_solve == "fused":
+        # Whole-macro-step cas/MXU Pallas kernel (ops/gpe_cas.py): kinetic
+        # phase rotations as packed matmuls, B phase + renorm in-kernel.
+        solver_type = FusedStrangControl
+        solver_parameters = {}
+    elif spectral_solve == "fft":
+        # fast_evolve merges consecutive A half-steps (midpoint Strang):
+        # 2 FFT pairs per substep instead of 4.
+        solver_type = StrangSplitting
+        solver_parameters = {"time_scale": 1.0, "fast_evolve": True}
+    else:
+        raise ValueError(f"unknown spectral_solve: {spectral_solve!r}")
     return VectorPDEEnv(
         equation_type=GPE2DTSControl,
         domain=domain,
-        solver_type=StrangSplitting,
+        solver_type=solver_type,
         end_time=end_time,
         step_dt=step_dt,
         numeric_dt=step_dt / substeps,
@@ -271,10 +284,7 @@ def make_gpe_control_env(
             "kinetic": True,
         },
         control_equation_parameter_name="lights",
-        # fast_evolve merges consecutive A half-steps (midpoint Strang):
-        # 2 FFT pairs per substep instead of 4 — the env path does not need
-        # bitwise reference-step parity, the golden tests pin that on .step.
-        solver_parameters={"time_scale": 1.0, "fast_evolve": True},
+        solver_parameters=solver_parameters,
         num_envs=num_envs,
         auto_reset=auto_reset,
         vectorized_control=True,

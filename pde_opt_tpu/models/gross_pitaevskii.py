@@ -47,6 +47,14 @@ class GPE2DTSControl(TimeSplittingEquation):
     ifft = None
     A_term = None
     dx = None
+    # Class-level placeholders so solver-compat checks (which inspect the
+    # class) see the attrs the fused Strang stepper pulls off instances.
+    k = None
+    e = None
+    lights = None
+    trap_factor = None
+    kinetic = None
+    domain = None
 
     def __init__(self, domain: Domain, k, e, lights: Callable,
                  trap_factor: float = 1.0, kinetic: bool = False):

@@ -1,0 +1,340 @@
+"""Fused Gross-Pitaevskii Strang macro-step kernel (Pallas, cas/MXU).
+
+One kernel advances an entire RL macro-step of the GPE control fleet —
+``n_steps`` merged-half-step (midpoint) Strang substeps, the same scheme as
+``StrangSplitting(fast_evolve=True)`` — with the wavefunction VMEM-resident
+throughout:
+
+* **Kinetic propagator on the MXU.**  The split-step linear operator is a
+  frequency-diagonal phase rotation ``exp(-i*phi(k)*tau)`` whose symbol
+  ``phi = (2*pi*k)^2/2`` is even in each frequency axis, so both its cos
+  and sin parts are axis-even real multipliers — exactly what the
+  symmetric real cas (Hartley) transform diagonalizes.  One propagator
+  application is 4 forward + 4 inverse cas matmuls on the packed
+  ``(bb4, ph*H, pw*W)`` env tiles (full 128 contraction depth at 64²):
+
+      psir' = IC( cos*C(psir) + sin*C(psii) )
+      psii' = IC( cos*C(psii) - sin*C(psir) )
+
+* **Pointwise B phase on the VPU.**  ``w = V_trap + V_control + g*|psi|^2``;
+  ``exp(-i*w*dt)`` is a per-point rotation (cos/sin transcendentals).
+
+* **Per-env renormalization via ones-matmuls.**  The per-env L2 norm is a
+  per-quadrant sum of the packed ``|psi|^2`` tile; computing it as
+  ``E_H @ z @ E_W`` with block-diagonal all-ones matrices broadcasts each
+  quadrant's total back over the quadrant in 2 MXU matmuls — no rank-1
+  in-kernel reductions (which Mosaic's vector layout inference rejects).
+
+Per merged substep: 10 matmuls + 2 cos/sin pairs, versus 4 complex
+64²-point FFT passes + exp on the XLA path (measured 98k env-steps/s for
+1024 envs at 10 substeps).  Semantics match the midpoint fast-evolve
+variant of the reference Strang step
+(``/root/reference/pde_opt/numerics/solvers.py:99-122``; B evaluated at
+the half-propagated state, per-step L2 renormalization) for real
+``time_scale`` and time-autonomous control within the macro-step — the
+control-env contract.
+
+Differentiable: custom VJP recomputing through the checkpointed jnp.fft
+oracle (:func:`gpe_strang_fast_reference`), with cotangents for both the
+wavefunction and the per-env control potential.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .cas_spectral import (
+    _block_diag,
+    _cas_mat,
+    _pack_field,
+    _pick_block,
+    _unpack_field,
+)
+
+__all__ = ["make_gpe_strang_cas_macro", "gpe_strang_fast_reference"]
+
+
+def _phi_symbol(N: int, h: float) -> np.ndarray:
+    """Kinetic symbol phi(k) = (2*pi*k)^2 / 2 (cycles-per-unit freqs)."""
+    k = np.fft.fftfreq(N, h)
+    return 0.5 * (2.0 * np.pi * k) ** 2
+
+
+def gpe_strang_fast_reference(V_trap, g, dx, dt, n_steps, remat=True):
+    """jnp.fft oracle of the merged-half-step (midpoint) Strang macro.
+
+    ``macro(y, ctrl) -> y1`` with ``y`` the real-stacked (..., H, W, 2)
+    wavefunction and ``ctrl`` the per-env control potential (..., H, W).
+    Mirrors ``StrangSplitting(fast_evolve=True).evolve`` for the GPE B
+    term ``-i*(V_trap + ctrl + g*|psi|^2)`` at real time_scale.
+    """
+    V_trap = jnp.asarray(V_trap)
+
+    def macro(y, ctrl):
+        H, W = y.shape[-3:-1]
+        phi = (
+            _phi_symbol(H, float(dx))[:, None]
+            + _phi_symbol(W, float(dx))[None, :]
+        )
+        expA_half = jnp.exp(-0.5j * dt * jnp.asarray(phi))
+        expA_full = expA_half * expA_half
+        cdtype = jnp.result_type(y.dtype, jnp.complex64)
+        psi = (y[..., 0] + 1j * y[..., 1]).astype(cdtype)
+
+        def prop(p, e):
+            return jnp.fft.ifftn(
+                jnp.fft.fftn(p, axes=(-2, -1)) * e, axes=(-2, -1)
+            ).astype(cdtype)
+
+        def b_renorm(p):
+            w = V_trap + ctrl + g * (p.real**2 + p.imag**2)
+            p = p * jnp.exp(-1j * dt * w)
+            norm = jnp.sqrt(
+                jnp.sum(jnp.abs(p) ** 2, axis=(-2, -1), keepdims=True)
+                * dx * dx
+            )
+            return (p / norm).astype(cdtype)
+
+        def body(p, _):
+            return prop(b_renorm(p), expA_full), None
+
+        body_fn = jax.checkpoint(body) if remat else body
+        psi = prop(psi, expA_half)
+        if n_steps > 1:
+            psi, _ = jax.lax.scan(body_fn, psi, None, length=n_steps - 1)
+        psi = b_renorm(psi)
+        psi = prop(psi, expA_half)
+        return jnp.stack([psi.real, psi.imag], axis=-1).astype(y.dtype)
+
+    return macro
+
+
+def make_gpe_strang_cas_macro(
+    V_trap,
+    g: float,
+    H: int,
+    W: int,
+    dx: float,
+    dt: float,
+    n_steps: int,
+    *,
+    block_envs: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    mats_dtype=jnp.bfloat16,
+):
+    """Build ``macro(y, ctrl) -> y1``: the fused GPE control macro-step.
+
+    Args:
+        V_trap: static (H, W) trap potential.
+        g: interaction strength (static).
+        H, W: grid (multiples of 8; < 128 must divide 128 for packing).
+        dx: grid spacing (square cells; the GPE stack is isotropic).
+        dt: substep size; real-time propagation.
+        n_steps: substeps per macro-step (merged-half-step scheme).
+
+    ``y``: (..., H, W, 2) real-stacked state; ``ctrl``: (..., H, W) per-env
+    control potential (broadcast leading axes against ``y``'s batch).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if H % 8 or W % 8:
+        raise ValueError(f"H, W must be multiples of 8, got {(H, W)}")
+    ph = 128 // H if H < 128 else 1
+    pw = 128 // W if W < 128 else 1
+    if H < 128 and ph * H != 128:
+        raise ValueError(f"H={H} < 128 must divide 128 for env packing")
+    if W < 128 and pw * W != 128:
+        raise ValueError(f"W={W} < 128 must divide 128 for env packing")
+    HP, WP = ph * H, pw * W
+    pack = ph * pw
+
+    phi = _phi_symbol(H, dx)[:, None] + _phi_symbol(W, dx)[None, :]
+    phiQ = np.tile(phi, (ph, pw))
+    cosF_np = np.cos(phiQ * dt)
+    sinF_np = np.sin(phiQ * dt)
+    cosH_np = np.cos(phiQ * 0.5 * dt)
+    sinH_np = np.sin(phiQ * 0.5 * dt)
+    VQ_np = np.tile(np.asarray(V_trap, np.float64), (ph, pw))
+
+    CH_np = _block_diag(_cas_mat(H), ph)
+    CW_np = _block_diag(_cas_mat(W), pw)
+    ICH_np = CH_np / H
+    ICW_np = CW_np / W
+
+    g_f = float(g)
+    dt_f = float(dt)
+    dx2 = float(dx) * float(dx)
+    mats = mats_dtype
+    prec = jax.lax.Precision.HIGHEST if mats == jnp.float32 else None
+
+    def mid_contract(x3, m2):
+        return jax.lax.dot_general(
+            x3, m2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    def kernel(yr_ref, yi_ref, ctrl_ref, ch_ref, cw_ref, ich_ref, icw_ref,
+               cosf_ref, sinf_ref, cosh_ref, sinh_ref,
+               vq_ref, outr_ref, outi_ref):
+        ch, cw, ich, icw = ch_ref[:], cw_ref[:], ich_ref[:], icw_ref[:]
+        cosF, sinF = cosf_ref[:], sinf_ref[:]
+        cosH_, sinH_ = cosh_ref[:], sinh_ref[:]
+        VQ = vq_ref[:]
+
+        pr = _pack_field(yr_ref[:].astype(jnp.float32), ph, pw)
+        pi = _pack_field(yi_ref[:].astype(jnp.float32), ph, pw)
+        vc = VQ[None] + _pack_field(ctrl_ref[:].astype(jnp.float32), ph, pw)
+
+        def fwd(z):
+            t1 = mid_contract(z.astype(mats), ch).astype(mats)
+            return mid_contract(t1, cw)
+
+        def inv(z):
+            t1 = mid_contract(z.astype(mats), ich).astype(mats)
+            return mid_contract(t1, icw)
+
+        def prop(r, i, c, s):
+            rh, ih = fwd(r), fwd(i)
+            return inv(c[None] * rh + s[None] * ih), inv(
+                c[None] * ih - s[None] * rh
+            )
+
+        def quadrant_sums(z):
+            """Per-quadrant totals broadcast back over their quadrant, in
+            full f32 on the VPU (keepdims reductions per static block —
+            bf16 matmul sums would inject ~4e-3 relative norm noise, and
+            rank-1 reductions trip Mosaic's layout inference)."""
+            bb4 = z.shape[0]
+            rows = []
+            for i in range(ph):
+                s = jnp.sum(z[:, i * H:(i + 1) * H, :], axis=1,
+                            keepdims=True)
+                rows.append(jnp.broadcast_to(s, (bb4, H, WP)))
+            z2 = jnp.concatenate(rows, axis=1) if ph > 1 else rows[0]
+            cols = []
+            for j in range(pw):
+                s = jnp.sum(z2[:, :, j * W:(j + 1) * W], axis=2,
+                            keepdims=True)
+                cols.append(jnp.broadcast_to(s, (bb4, HP, W)))
+            return jnp.concatenate(cols, axis=2) if pw > 1 else cols[0]
+
+        def b_phase(r, i):
+            w = vc + g_f * (r * r + i * i)
+            th = dt_f * w
+            c = jnp.cos(th)
+            s = jnp.sin(th)
+            return c * r + s * i, c * i - s * r
+
+        def renorm(r, i):
+            n2 = quadrant_sums(r * r + i * i) * dx2
+            scale = jax.lax.rsqrt(n2)
+            return r * scale, i * scale
+
+        # Renormalize AFTER each propagator application: the kinetic phase
+        # rotation is exactly norm-preserving, so this reordering is
+        # mathematically identical to renorm-then-propagate — but it also
+        # scrubs the bf16 transform-operand rounding so every emitted
+        # state sits exactly on the unit-norm manifold.
+        pr, pi = prop(pr, pi, cosH_, sinH_)
+        for _ in range(n_steps - 1):
+            pr, pi = b_phase(pr, pi)
+            pr, pi = prop(pr, pi, cosF, sinF)
+            pr, pi = renorm(pr, pi)
+        pr, pi = b_phase(pr, pi)
+        pr, pi = prop(pr, pi, cosH_, sinH_)
+        pr, pi = renorm(pr, pi)
+
+        outr_ref[:] = _unpack_field(pr, ph, pw, H, W).astype(outr_ref.dtype)
+        outi_ref[:] = _unpack_field(pi, ph, pw, H, W).astype(outi_ref.dtype)
+
+    def _run(yr, yi, ctrl):
+        B = yr.shape[0]
+        if block_envs is not None:
+            if block_envs % pack:
+                raise ValueError(
+                    f"block_envs {block_envs} must be divisible by {pack}"
+                )
+            bb = block_envs
+        else:
+            need4 = -(-B // pack)
+            pow2 = 1 << (need4 - 1).bit_length()
+            bb = pack * min(_pick_block(HP, WP, live_buffers=12), pow2)
+        Bp = -(-B // bb) * bb
+        if Bp != B:
+            reps = Bp - B
+
+            def padrow(a):
+                return jnp.concatenate(
+                    [a, jnp.broadcast_to(a[-1:], (reps,) + a.shape[1:])], 0
+                )
+
+            yr, yi, ctrl = padrow(yr), padrow(yi), padrow(ctrl)
+
+        consts = [
+            jnp.asarray(CH_np, mats), jnp.asarray(CW_np, mats),
+            jnp.asarray(ICH_np, mats), jnp.asarray(ICW_np, mats),
+            jnp.asarray(cosF_np, jnp.float32),
+            jnp.asarray(sinF_np, jnp.float32),
+            jnp.asarray(cosH_np, jnp.float32),
+            jnp.asarray(sinH_np, jnp.float32),
+            jnp.asarray(VQ_np, jnp.float32),
+        ]
+        const_specs = [
+            pl.BlockSpec(c.shape, lambda i, _nd=c.ndim: (0,) * _nd,
+                         memory_space=pltpu.VMEM)
+            for c in consts
+        ]
+        field_spec = pl.BlockSpec((bb, H, W), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        outr, outi = pl.pallas_call(
+            kernel,
+            grid=(Bp // bb,),
+            in_specs=[field_spec, field_spec, field_spec, *const_specs],
+            out_specs=(field_spec, field_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((Bp, H, W), yr.dtype),
+                jax.ShapeDtypeStruct((Bp, H, W), yi.dtype),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=5 * n_steps * Bp * H * W * (2 * HP + 2 * WP),
+                bytes_accessed=3 * Bp * H * W * 4 * 2,
+                transcendentals=2 * n_steps * Bp * H * W,
+            ),
+            interpret=interpret,
+        )(yr, yi, ctrl, *consts)
+        if Bp != B:
+            outr, outi = outr[:B], outi[:B]
+        return outr, outi
+
+    oracle = gpe_strang_fast_reference(V_trap, g, dx, dt, n_steps)
+
+    @jax.custom_vjp
+    def _core(y, ctrl):
+        *batch, h, w, two = y.shape
+        if (h, w, two) != (H, W, 2):
+            raise ValueError(f"state trailing shape {(h, w, two)} != "
+                             f"{(H, W, 2)}")
+        B = math.prod(batch) if batch else 1
+        yr = y[..., 0].reshape(B, H, W)
+        yi = y[..., 1].reshape(B, H, W)
+        ctrl_b = jnp.broadcast_to(ctrl, (*batch, H, W)).reshape(B, H, W)
+        outr, outi = _run(yr, yi, ctrl_b)
+        return jnp.stack([outr, outi], axis=-1).reshape(*batch, H, W, 2)
+
+    def _core_fwd(y, ctrl):
+        return _core(y, ctrl), (y, ctrl)
+
+    def _core_bwd(res, gbar):
+        y, ctrl = res
+        _, vjp = jax.vjp(oracle, y, ctrl)
+        return vjp(gbar)
+
+    _core.defvjp(_core_fwd, _core_bwd)
+    return _core

@@ -34,6 +34,7 @@ __all__ = [
     "FusedSemiImplicitSpectral",
     "FusedSemiImplicitSpectral3D",
     "FusedAllenCahnSpectral",
+    "FusedStrangControl",
     "StrangSplitting",
     "DirectionalSplitting",
     "ImplicitEuler",
@@ -595,6 +596,76 @@ class StrangSplitting(AbstractStepper):
             and self.dx == other.dx
             and self.fast_evolve == other.fast_evolve
         )
+
+
+class FusedStrangControl(AbstractStepper):
+    """Whole-macro-step fused Pallas Strang stepper for the GPE control env.
+
+    All substeps of an :func:`~pde_opt_tpu.ops.integrate.evolve` call run in
+    one cas/MXU Pallas kernel (:mod:`pde_opt_tpu.ops.gpe_cas`): kinetic
+    phase rotations as packed cas matmuls, pointwise B phase on the VPU,
+    per-env renormalization via block-ones matmuls.  Semantics = the
+    midpoint ``StrangSplitting(fast_evolve=True)`` scheme at real time with
+    time-autonomous control within the macro-step (the control-env
+    contract).  Differentiable (custom VJP through the checkpointed FFT
+    oracle) w.r.t. both the state and the control field.
+    """
+
+    required_equation_attrs = ("domain", "k", "e", "trap_factor", "lights",
+                               "kinetic")
+    order = 1
+
+    def __init__(self, domain, k, e, lights, trap_factor=1.0, kinetic=True,
+                 block_envs=None, mats_dtype=None, interpret=None):
+        if not kinetic:
+            raise ValueError(
+                "FusedStrangControl integrates the full dispersion; "
+                "construct the equation with kinetic=True (the reference's "
+                "zeroed-A Thomas-Fermi mode has no kinetic propagator to "
+                "fuse — use StrangSplitting there)."
+            )
+        self.domain = domain
+        self.g = float(k)
+        self.e = float(e)
+        self.trap_factor = float(trap_factor)
+        self.lights = lights
+        self.block_envs = block_envs
+        self.mats_dtype = mats_dtype
+        self.interpret = interpret
+
+        import numpy as _np
+
+        X, Y = domain.mesh()
+        self._V_trap = 0.5 * self.trap_factor * (
+            (1 + self.e) * _np.asarray(X) ** 2
+            + (1 - self.e) * _np.asarray(Y) ** 2
+        )
+        self._mesh = (jnp.asarray(X), jnp.asarray(Y))
+
+    def evolve(self, rhs, y0, t0, dt, n_steps, unroll=1):
+        del rhs, unroll
+        if isinstance(dt, jax.core.Tracer):
+            raise TypeError(
+                "FusedStrangControl requires trace-time concrete dt"
+            )
+        from .gpe_cas import make_gpe_strang_cas_macro
+
+        H, W = self.domain.points
+        kwargs = {}
+        if self.mats_dtype is not None:
+            kwargs["mats_dtype"] = self.mats_dtype
+        macro = make_gpe_strang_cas_macro(
+            self._V_trap, self.g, H, W, float(self.domain.dx[0]),
+            float(dt), int(n_steps), block_envs=self.block_envs,
+            interpret=self.interpret, **kwargs,
+        )
+        X, Y = self._mesh
+        ctrl = self.lights(t0, X, Y)
+        ctrl = jnp.broadcast_to(ctrl, y0.shape[:-1])
+        return macro(y0, ctrl)
+
+    def step(self, rhs, y, t, dt):
+        return self.evolve(rhs, y, t, dt, 1), None
 
 
 class DirectionalSplitting(AbstractStepper):

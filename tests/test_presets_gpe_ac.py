@@ -132,3 +132,37 @@ def test_strang_fast_evolve_matches_per_step_physics():
     err = float(jnp.max(jnp.abs(y_fast - y_slow)))
     scale = float(jnp.max(jnp.abs(y_slow)))
     assert err < 0.02 * scale, (err, scale)
+
+
+def test_gpe_fused_env_matches_fft_env():
+    """Fused cas GPE env == fft (fast_evolve) env trajectory at f32 tol."""
+    kwargs = dict(num_envs=4, grid_size=32, substeps=3)
+    env_f = make_gpe_control_env(spectral_solve="fused", **kwargs)
+    env_x = make_gpe_control_env(spectral_solve="fft", **kwargs)
+    sf, _ = env_f.reset(jax.random.PRNGKey(9))
+    sx, _ = env_x.reset(jax.random.PRNGKey(9))
+    np.testing.assert_allclose(np.asarray(sf.y), np.asarray(sx.y))
+    actions = jnp.full((4, 1), 0.5, jnp.float32)
+    sf2, *_ = env_f._step_impl(sf, actions)
+    sx2, *_ = env_x._step_impl(sx, actions)
+    err = float(jnp.max(jnp.abs(sf2.y - sx2.y)))
+    scale = float(jnp.max(jnp.abs(sx2.y)))
+    # bf16 transform operands put ~4e-3 absolute noise on the field (same
+    # budget as the CH fused kernels; exact semantics are pinned by the
+    # f32 oracle-parity test in ops/gpe_cas.py's test below).
+    assert err < 2e-2 * scale, (err, scale)
+
+
+def test_gpe_fused_env_grad_flows_to_control():
+    """Pathwise gradient through the fused GPE macro reaches the action."""
+    env = make_gpe_control_env(spectral_solve="fused", num_envs=2,
+                               grid_size=16, substeps=2)
+    state, _ = env.reset(jax.random.PRNGKey(10))
+
+    def loss(actions):
+        s2, _, reward, *_ = env._step_impl(state, actions)
+        return -jnp.sum(reward)
+
+    g = jax.grad(loss)(jnp.full((2, 1), 0.5, jnp.float32))
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.max(jnp.abs(g))) > 0.0
