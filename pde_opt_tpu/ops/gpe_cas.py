@@ -128,6 +128,7 @@ def make_gpe_strang_cas_macro(
     block_envs: Optional[int] = None,
     interpret: Optional[bool] = None,
     mats_dtype=jnp.bfloat16,
+    phase_poly: bool = True,
 ):
     """Build ``macro(y, ctrl) -> y1``: the fused GPE control macro-step.
 
@@ -138,6 +139,15 @@ def make_gpe_strang_cas_macro(
         dx: grid spacing (square cells; the GPE stack is isotropic).
         dt: substep size; real-time propagation.
         n_steps: substeps per macro-step (merged-half-step scheme).
+        phase_poly: evaluate the pointwise B-phase rotation with degree-7
+            odd/even Taylor polynomials instead of hardware sin/cos.  The
+            per-substep phase ``theta = dt*(V + ctrl + g|psi|^2)`` must
+            satisfy ``|theta| << 1`` for the Strang splitting itself to be
+            accurate, and on that domain the polynomials are exact to f32
+            (error < 1e-7 up to |theta| = 0.7, < 1e-10 at 0.2); dropping
+            the two transcendentals removes ~40% of the kernel's runtime
+            (VPU-bound ablation, ``scripts/profile_gpe.py``).  Set False
+            for full-range hardware sin/cos.
 
     ``y``: (..., H, W, 2) real-stacked state; ``ctrl``: (..., H, W) per-env
     control potential (broadcast leading axes against ``y``'s batch).
@@ -228,8 +238,15 @@ def make_gpe_strang_cas_macro(
         def b_phase(r, i):
             w = vc + g_f * (r * r + i * i)
             th = dt_f * w
-            c = jnp.cos(th)
-            s = jnp.sin(th)
+            if phase_poly:
+                t2 = th * th
+                c = 1.0 + t2 * (-0.5 + t2 * (1.0 / 24.0 + t2 * (-1.0 / 720.0)))
+                s = th * (1.0 + t2 * (-1.0 / 6.0
+                                      + t2 * (1.0 / 120.0
+                                              + t2 * (-1.0 / 5040.0))))
+            else:
+                c = jnp.cos(th)
+                s = jnp.sin(th)
             return c * r + s * i, c * i - s * r
 
         def renorm(r, i):

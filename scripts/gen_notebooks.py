@@ -659,7 +659,7 @@ def _nb08():
         `DirectionalSplitting` stepper — see `tests/test_gpe_rot.py`. The
         RL control preset (`make_gpe_control_env`) drives an optical spot
         through the same physics at fleet scale on the fused cas kernel
-        (~390k env-steps/s at 1024×64² on one v5e chip — `bench.py`).
+        (~760k env-steps/s at 1024×64² on one v5e chip — `bench.py`).
         """),
     ]
 

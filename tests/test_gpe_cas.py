@@ -76,3 +76,21 @@ def test_gpe_cas_macro_ragged_batch():
     np.testing.assert_allclose(np.asarray(macro(y0, ctrl)),
                                np.asarray(ref(y0, ctrl)),
                                rtol=0, atol=5e-6)
+
+
+def test_gpe_cas_phase_poly_matches_exact_over_domain():
+    """The degree-7 phase polynomials match hardware sin/cos to f32 over the
+    whole |theta| <= 0.7 domain the Strang scheme is meaningful on (here
+    theta = dt*w reaches ~0.5 via a large control potential)."""
+    V, dx, y0, ctrl = _setup(seed=3)
+    g, dt, n = 100.0, 5e-3, 3          # 5x the usual dt -> theta up to ~0.5
+    N = y0.shape[1]
+    poly = make_gpe_strang_cas_macro(V, g, N, N, dx, dt, n,
+                                     mats_dtype=jnp.float32, interpret=True,
+                                     phase_poly=True)
+    exact = make_gpe_strang_cas_macro(V, g, N, N, dx, dt, n,
+                                      mats_dtype=jnp.float32, interpret=True,
+                                      phase_poly=False)
+    np.testing.assert_allclose(np.asarray(poly(y0, ctrl)),
+                               np.asarray(exact(y0, ctrl)),
+                               rtol=0, atol=2e-6)
