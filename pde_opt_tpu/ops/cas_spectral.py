@@ -515,6 +515,13 @@ def make_ac_cas_fused_macro(
     tile — vs the unpacked half-depth DFT kernel this is the same win the
     CH kernel measured (~4-6x at 64^2).  Differentiable via a custom VJP
     that recomputes through the checkpointed XLA oracle.
+
+    When ``R(u) == 1`` (pass ``R_fn=None``, or let the 64-point build-time
+    probe detect it) the real-space Laplacian round-trip is algebraically
+    redundant: with g = -(mu(u) - kappa*lap) and fwd linear,
+    ``fwd(g) = kappa*lam*fwd(u) - fwd(mu(u))`` — so each substep needs
+    only 6 matmuls (fwd(u), fwd(mu(u)), one inverse), a measured ~25%
+    macro speedup at 4096x64^2.
     """
     from .fused_spectral import _attach_oracle_vjp, ac_sif_macro_reference
 
@@ -550,6 +557,23 @@ def make_ac_cas_fused_macro(
             preferred_element_type=jnp.float32, precision=prec,
         )
 
+    # Identity-R detection: R == 1 drops 2 matmuls/substep (see docstring).
+    # The macro is usually built while tracing the env step, where
+    # omnistaging would turn R_fn(probe) into a tracer — force compile-time
+    # evaluation so the probe stays concrete.
+    if R_fn is None:
+        r_identity = True
+    else:
+        probe = np.linspace(-2.0, 2.0, 64)
+        try:
+            with jax.ensure_compile_time_eval():
+                r_identity = bool(
+                    np.array_equal(np.asarray(R_fn(jnp.asarray(probe))),
+                                   np.ones_like(probe))
+                )
+        except Exception:
+            r_identity = False
+
     def kernel(u_ref, kap_ref, ch_ref, cw_ref, ich_ref, icw_ref, lamQ_ref,
                out_ref):
         lamQ = lamQ_ref[:]
@@ -566,10 +590,16 @@ def make_ac_cas_fused_macro(
             t1 = mid_contract(zt.astype(mats), ich).astype(mats)
             return mid_contract(t1, icw)
 
-        for _ in range(n_steps):
-            lap = inv(lamQ[None] * fwd(u))
-            g = -R_fn(u) * (mu_fn(u) - kQ * lap)
-            u = u + inv(denom_dt * fwd(g))
+        if r_identity:
+            for _ in range(n_steps):
+                uh = fwd(u)
+                mh = fwd(mu_fn(u))
+                u = u + inv(denom_dt * (kQ * lamQ[None] * uh - mh))
+        else:
+            for _ in range(n_steps):
+                lap = inv(lamQ[None] * fwd(u))
+                g = -R_fn(u) * (mu_fn(u) - kQ * lap)
+                u = u + inv(denom_dt * fwd(g))
         out_ref[:] = _unpack_field(u, ph, pw, H, W).astype(out_ref.dtype)
 
     def macro_raw(state, kappa):
@@ -621,7 +651,8 @@ def make_ac_cas_fused_macro(
             out_specs=field_spec,
             out_shape=jax.ShapeDtypeStruct((Bp, H, W), state.dtype),
             cost_estimate=pl.CostEstimate(
-                flops=4 * n_steps * Bp * H * W * (2 * HP + 2 * WP),
+                flops=((3 if r_identity else 4)
+                       * n_steps * Bp * H * W * (2 * HP + 2 * WP)),
                 bytes_accessed=2 * Bp * H * W * 4,
                 transcendentals=0,
             ),
@@ -631,8 +662,9 @@ def make_ac_cas_fused_macro(
             out = out[:B]
         return out.reshape(*batch, H, W)
 
+    R_oracle = (lambda u: jnp.ones_like(u)) if R_fn is None else R_fn
     return _attach_oracle_vjp(
         macro_raw,
-        ac_sif_macro_reference(mu_fn, R_fn, hx, hy, A, dt, n_steps,
+        ac_sif_macro_reference(mu_fn, R_oracle, hx, hy, A, dt, n_steps,
                                remat=True),
     )

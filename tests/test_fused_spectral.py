@@ -184,3 +184,27 @@ def test_ac_cas_macro_grad_and_ragged_batch():
     gk_r = jax.grad(lambda kk: jnp.sum(ref(u, kk) ** 2))(kappa)
     np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_r),
                                rtol=1e-3, atol=1e-7)
+
+
+def test_ac_cas_macro_r_none_identity_path():
+    """R_fn=None selects the 6-matmul identity-R kernel; must equal both
+    the oracle and the probed-identity path (R passed as ones)."""
+    from pde_opt_tpu.ops.cas_spectral import make_ac_cas_fused_macro
+    from pde_opt_tpu.ops.fused_spectral import ac_sif_macro_reference
+
+    B, H, W = 4, 16, 16
+    u = 0.1 * jax.random.normal(jax.random.PRNGKey(9), (B, H, W))
+    u = u.astype(jnp.float32)
+    kappa = jnp.linspace(2e-4, 8e-4, B)
+    args = (H, W, 0.01, 0.01, 1.0, 1e-4, 3)
+    f_none = make_ac_cas_fused_macro(mu, None, *args,
+                                     mats_dtype=jnp.float32, interpret=True)
+    f_ones = make_ac_cas_fused_macro(mu, lambda c: jnp.ones_like(c), *args,
+                                     mats_dtype=jnp.float32, interpret=True)
+    ref = ac_sif_macro_reference(mu, lambda c: jnp.ones_like(c),
+                                 0.01, 0.01, 1.0, 1e-4, 3)
+    out = f_none(u, kappa)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(f_ones(u, kappa)),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(u, kappa)),
+                               rtol=0, atol=5e-5)
