@@ -161,8 +161,85 @@ def gen_strang_imag():
           f"norm {np.sum(np.abs(psi)**2) * dx**2:.6f}")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Allen-Cahn, 64x64, fixed-dt Tsitouras 5(4) (the reference's Tsit5 path)
+# ---------------------------------------------------------------------------
+
+# Standard published Tsitouras 5(4) tableau (Tsitouras, Comput. Math. Appl.
+# 62 (2011) 770-775) — the same coefficients diffrax's Tsit5 uses, which is
+# the solver the reference drives Allen-Cahn with
+# (/root/reference/tests/test_solvers.py:81, pde_model.py via solver_type).
+_TS_C = (0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0)
+_TS_A = (
+    (0.161,),
+    (-0.008480655492356989, 0.335480655492357),
+    (2.8971530571054935, -6.359448489975075, 4.3622954328695815),
+    (5.325864828439257, -11.748883564062828, 7.4955393428898365,
+     -0.09249506636175525),
+    (5.86145544294642, -12.92096931784711, 8.159367898576159,
+     -0.071584973281401, -0.028269050394068383),
+    (0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
+     -3.290069515436081, 2.324710524099774),
+)
+
+
+def _tsit5_step(rhs, u, t, dt):
+    k = [rhs(u, t)]
+    for ci, ai in zip(_TS_C, _TS_A):
+        ui = u.copy()
+        for aij, kj in zip(ai, k):
+            ui = ui + dt * aij * kj
+        k.append(rhs(ui, t + ci * dt))
+    u1 = u.copy()
+    for aij, kj in zip(_TS_A[-1], k):
+        u1 = u1 + dt * aij * kj
+    return u1
+
+
+def gen_ac2d_tsit5():
+    """Allen-Cahn FD rhs (reference allen_cahn.py:81-84: rhs = -R(u) *
+    (mu(u) - kappa*lap u)) advanced by fixed-dt Tsit5."""
+    N = 64
+    dx = 0.01
+    kappa = 2e-3
+    dt = 1e-4
+    n_steps = 40
+    save_every = 10
+
+    def R(c):
+        return 1.0 + 0.1 * c**2
+
+    def rhs(u, t):
+        lap = (
+            (np.roll(u, -1, 0) - 2 * u + np.roll(u, 1, 0)) / dx**2
+            + (np.roll(u, -1, 1) - 2 * u + np.roll(u, 1, 1)) / dx**2
+        )
+        return -R(u) * (mu(u) - kappa * lap)
+
+    rng = np.random.default_rng(2024)
+    u0 = 0.1 * rng.standard_normal((N, N))
+
+    traj = [u0.copy()]
+    u = u0.copy()
+    for k in range(1, n_steps + 1):
+        u = _tsit5_step(rhs, u, (k - 1) * dt, dt)
+        if k % save_every == 0:
+            traj.append(u.copy())
+
+    np.savez_compressed(
+        os.path.join(OUT, "ac2d_tsit5_fd.npz"),
+        u0=u0, traj=np.stack(traj), kappa=kappa, dt=dt,
+        n_steps=n_steps, save_every=save_every, dx=dx, N=N,
+    )
+    print(f"ac2d_tsit5_fd: traj {np.stack(traj).shape}, final range "
+          f"[{u.min():.4f}, {u.max():.4f}]")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     gen_ch2d("fourier", "ch2d_sif_fourier.npz")
     gen_ch2d("fd", "ch2d_sif_fd.npz")
     gen_strang_imag()
+    gen_ac2d_tsit5()

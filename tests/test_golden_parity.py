@@ -103,3 +103,27 @@ def test_strang_imaginary_time_trajectory_matches_golden():
         traj.append(np.asarray(y[..., 0] + 1j * y[..., 1]))
 
     np.testing.assert_allclose(np.stack(traj), z["traj"], rtol=0, atol=1e-10)
+
+
+def test_ac2d_tsit5_trajectory_matches_golden():
+    """Allen-Cahn FD rhs + fixed-dt Tsit5 vs the numpy golden (the
+    reference's Tsit5 Allen-Cahn path, tests/test_solvers.py:81)."""
+    from pde_opt_tpu.models.allen_cahn import AllenCahn2DPeriodic
+    from pde_opt_tpu.ops.steppers import Tsit5
+
+    z = np.load(os.path.join(GOLDENS, "ac2d_tsit5_fd.npz"))
+    N, dx = int(z["N"]), float(z["dx"])
+    dt = float(z["dt"])
+    n_steps, save_every = int(z["n_steps"]), int(z["save_every"])
+
+    L = N * dx
+    domain = Domain((N, N), ((-L / 2, L / 2), (-L / 2, L / 2)),
+                    "dimensionless", dtype=jnp.float64)
+    eq = AllenCahn2DPeriodic(domain, float(z["kappa"]), mu,
+                             R=lambda c: 1.0 + 0.1 * c**2, derivs="fd")
+    u = jnp.asarray(z["u0"], jnp.float64)
+    got = [np.asarray(u)]
+    for _ in range(n_steps // save_every):
+        u = evolve(Tsit5(), eq.rhs, u, 0.0, dt, save_every)
+        got.append(np.asarray(u))
+    np.testing.assert_allclose(np.stack(got), z["traj"], rtol=0, atol=1e-12)
