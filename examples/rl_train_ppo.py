@@ -22,6 +22,11 @@ from pde_opt_tpu.rl import ActorCriticConv, PPOConfig, ppo_train
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--env", type=str, default="ch",
+                    choices=["ch", "ac", "gpe"],
+                    help="fleet preset: Cahn-Hilliard (kappa control), "
+                         "Allen-Cahn (kappa control), or Gross-Pitaevskii "
+                         "(optical-spot control)")
     ap.add_argument("--num-envs", type=int, default=256)
     ap.add_argument("--grid", type=int, default=64)
     ap.add_argument("--substeps", type=int, default=10)
@@ -31,11 +36,28 @@ def main():
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
-    env = make_cahn_hilliard_control_env(
-        num_envs=args.num_envs, grid_size=args.grid, substeps=args.substeps,
-        vectorized_control=True,
-        spectral_solve="fused" if on_tpu else "fft",
-    )
+    if args.env == "ch":
+        env = make_cahn_hilliard_control_env(
+            num_envs=args.num_envs, grid_size=args.grid,
+            substeps=args.substeps, vectorized_control=True,
+            spectral_solve="fused" if on_tpu else "fft",
+        )
+    elif args.env == "ac":
+        from pde_opt_tpu.envs import make_allen_cahn_control_env
+
+        env = make_allen_cahn_control_env(
+            num_envs=args.num_envs, grid_size=args.grid,
+            substeps=args.substeps,
+            spectral_solve="fused" if on_tpu else "fft",
+        )
+    else:
+        from pde_opt_tpu.envs import make_gpe_control_env
+
+        env = make_gpe_control_env(
+            num_envs=args.num_envs, grid_size=args.grid,
+            substeps=args.substeps,
+            spectral_solve="fused" if on_tpu else "fft",
+        )
     net = ActorCriticConv(action_dim=1, channels=(16, 32), features=64,
                           key=jax.random.PRNGKey(0))
     cfg = PPOConfig(rollout_steps=args.rollout, lr=args.lr)

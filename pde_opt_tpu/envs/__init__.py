@@ -2,6 +2,18 @@
 
 from .vector_env import EnvState, VectorPDEEnv
 from .gym_adapter import PDEEnv, AdvectionDiffusionEnv
-from .presets import make_cahn_hilliard_control_env
+from .presets import (
+    make_allen_cahn_control_env,
+    make_cahn_hilliard_control_env,
+    make_gpe_control_env,
+)
 
-__all__ = ["EnvState", "VectorPDEEnv", "PDEEnv", "AdvectionDiffusionEnv", "make_cahn_hilliard_control_env"]
+__all__ = [
+    "EnvState",
+    "VectorPDEEnv",
+    "PDEEnv",
+    "AdvectionDiffusionEnv",
+    "make_allen_cahn_control_env",
+    "make_cahn_hilliard_control_env",
+    "make_gpe_control_env",
+]
