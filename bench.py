@@ -121,6 +121,34 @@ def bench_ch128(platform):
     return rate
 
 
+def bench_ch256(platform):
+    """256² (the reference's largest exercised rollout) on the fused kernel:
+    depth-256 cas matmuls, no env packing."""
+    if platform == "cpu":
+        return None
+    import time as _time
+
+    from pde_opt_tpu.ops.cas_spectral import make_ch_cas_fused_macro
+
+    B, N, S = 256, 256, SUBSTEPS
+    u = (0.5 + 0.01 * jax.random.normal(jax.random.PRNGKey(60), (B, N, N))
+         ).astype(jnp.float32)
+    kap = jnp.full((B,), 4e-3, jnp.float32)
+    macro = jax.jit(make_ch_cas_fused_macro(
+        lambda c: c**3 - c, N, N, 0.01, 0.01, 1.0, 1e-4, S))
+    out = macro(u, kap)
+    _ = float(jnp.sum(out))
+    t0 = _time.perf_counter()
+    runs = 20
+    for _i in range(runs):
+        out = macro(out, kap)
+    _ = float(jnp.sum(out))
+    dt = _time.perf_counter() - t0
+    if not bool(jnp.isfinite(out).all()):
+        return None
+    return B * S * runs / dt
+
+
 def bench_ac64(platform):
     if platform == "cpu":
         return None
@@ -315,6 +343,10 @@ def main():
                 "mfu": (round(r * SUBSTEPS * f128 / peak_flops, 3)
                         if peak_flops else None),
             }
+        r = bench_ch256(platform)
+        if r:
+            configs["ch_256x256_256batch_substeps"] = {
+                "env_substeps_per_s": round(r, 1)}
         r = bench_ac64(platform)
         if r:
             configs["ac_64x64_4096envs_fused"] = {
