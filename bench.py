@@ -226,6 +226,34 @@ def bench_ch3d(platform):
     return {"fft": rate(fft_run, 3), "cas": rate(cas_run, 10)}
 
 
+def bench_ppo(platform):
+    """End-to-end PPO training rate: one jitted update = 16-step rollout
+    over the fused 4096-env fleet + GAE + 2 epochs x 8 minibatches of
+    clipped-surrogate conv-policy updates."""
+    if platform == "cpu":
+        return None
+    import time as _time
+
+    from pde_opt_tpu.envs import make_cahn_hilliard_control_env
+    from pde_opt_tpu.rl import ActorCriticConv, PPOConfig, ppo_train
+
+    B = NUM_ENVS
+    env = make_cahn_hilliard_control_env(
+        num_envs=B, grid_size=GRID, substeps=SUBSTEPS, derivs="pallas",
+        vectorized_control=True, spectral_solve="fused",
+    )
+    net = ActorCriticConv(action_dim=1, channels=(16, 32), features=64,
+                          key=jax.random.PRNGKey(70))
+    cfg = PPOConfig(rollout_steps=16, epochs=2, minibatches=8, lr=3e-4)
+    times = []
+    ppo_train(env, net, cfg, num_updates=8, key=jax.random.PRNGKey(71),
+              log_fn=lambda u, m: times.append(_time.perf_counter()))
+    if len(times) < 4:
+        return None
+    dt = (times[-1] - times[1]) / (len(times) - 2)   # steady-state
+    return 16 * B / dt
+
+
 def bench_train_grad(platform):
     """Training-path throughput: value+grad of a 10-substep macro, fused cas
     custom-VJP vs per-substep XLA rfft stepper.  Returns (fused, xla) in
@@ -363,6 +391,10 @@ def main():
                 f"{k}_field_substeps_per_s": round(v, 1)
                 for k, v in r.items() if v
             }
+        r = bench_ppo(platform)
+        if r:
+            configs["ppo_64x64_4096envs"] = {
+                "trained_env_steps_per_s": round(r, 1)}
         fused_g, xla_g = bench_train_grad(platform)
         if fused_g and xla_g:
             configs["train_grad_64x64_1024envs"] = {
