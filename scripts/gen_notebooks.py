@@ -1236,6 +1236,135 @@ def _nb15():
 
 
 # ---------------------------------------------------------------------------
+# 16 — spatial decomposition
+# ---------------------------------------------------------------------------
+
+@notebook("16_spatial_decomposition")
+def _nb16():
+    return [
+        md("""
+        # Spatial decomposition: halo exchange and the distributed FFT
+
+        The PDE analog of sequence/context parallelism: when one instance's
+        grid exceeds a chip, shard the grid's **rows** across a named mesh
+        axis. Finite-difference stencils then need one ring `ppermute`
+        halo exchange per evaluation; pseudo-spectral operators need a
+        distributed FFT — local FFT → `all_to_all` transpose → local FFT,
+        the TPU-native shape of a 2D FFT across ICI.
+
+        Everything here runs inside `shard_map`; this notebook uses 8
+        virtual CPU devices (same code on a real mesh). The reference has
+        no multi-device support of any kind (SURVEY §2.3).
+        """),
+        code("""
+        import os, sys
+        sys.path.insert(0, os.path.abspath(os.path.join(os.getcwd(), "..", "..")))
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (flags +
+                " --xla_force_host_platform_device_count=8").strip()
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import matplotlib.pyplot as plt
+        from jax.sharding import PartitionSpec as P
+
+        from pde_opt_tpu.parallel.mesh import make_mesh, shard_map
+        n_dev = len(jax.devices())
+        mesh = make_mesh(axis_names=("space",))
+        print("devices:", n_dev)
+        """),
+        md("""
+        ## Halo-exchange stencils
+
+        `sharded_lap_2nd_2d` pads one halo row per side with a ring
+        `ppermute`, then applies the same arithmetic as the single-device
+        stencil — the results agree exactly:
+        """),
+        code("""
+        from pde_opt_tpu.ops.stencils import lap_2nd_2d
+        from pde_opt_tpu.parallel.halo import sharded_lap_2nd_2d
+
+        N = 64
+        u = jax.random.normal(jax.random.PRNGKey(0), (N, N))
+        lap_sharded = jax.jit(shard_map(
+            lambda ul: sharded_lap_2nd_2d(ul, 0.1, 0.1, "space"),
+            mesh=mesh, in_specs=P("space"), out_specs=P("space"),
+        ))(u)
+        lap_global = lap_2nd_2d(u, 0.1, 0.1)
+        err = float(jnp.abs(lap_sharded - lap_global).max())
+        scale = float(jnp.abs(lap_global).max())
+        print(f"max |sharded - global| = {err:.2e} (field scale {scale:.1f})")
+        assert err < 1e-5 * scale    # f32 summation-order noise only
+        """),
+        md("""
+        ## The all-to-all distributed FFT
+
+        Row-sharded input `(N/P, M)` → FFT along the unsharded axis →
+        `all_to_all` global transpose → FFT along the other axis. The
+        output lands **column-sharded**, which is exactly the layout you
+        want for applying spectral multipliers locally:
+        """),
+        code("""
+        from pde_opt_tpu.parallel.halo import distributed_fft2, distributed_ifft2
+
+        f = jax.random.normal(jax.random.PRNGKey(1), (N, N))
+        fhat = jax.jit(shard_map(
+            lambda ul: distributed_fft2(ul.astype(jnp.complex64), "space"),
+            mesh=mesh, in_specs=P("space"), out_specs=P(None, "space"),
+        ))(f)
+        err = float(jnp.abs(fhat - jnp.fft.fft2(f)).max())
+        print(f"max |distributed - jnp.fft.fft2| = {err:.2e}")
+        assert err < 1e-3 * float(jnp.abs(fhat).max())
+        """),
+        md("""
+        ## A spatially-sharded Cahn-Hilliard solve
+
+        `make_sharded_sif_ch_macro` is the spatial-decomposition
+        counterpart of the fused single-chip kernel: the same semi-implicit
+        substep evaluated with the distributed FFT, spectral multipliers
+        sliced per shard in the transposed layout. One 256² instance
+        spreads across all 8 devices and matches the single-device run:
+        """),
+        code("""
+        from pde_opt_tpu.parallel.halo import make_sharded_sif_ch_macro
+        from pde_opt_tpu.ops.fused_spectral import ch_sif_macro_reference
+
+        N = 256
+        mu = lambda c: c**3 - c
+        u0 = 0.5 + 0.05 * jax.random.normal(jax.random.PRNGKey(2), (N, N))
+        macro = make_sharded_sif_ch_macro(mu, N, N, 0.01, 0.01,
+                                          A=1.0, dt=1e-5, n_steps=20)
+        u1 = jax.jit(shard_map(
+            lambda ul: macro(ul, 0.004),
+            mesh=mesh, in_specs=P("space"), out_specs=P("space"),
+        ))(u0)
+        ref = ch_sif_macro_reference(mu, 0.01, 0.01, 1.0, 1e-5, 20)
+        u1_ref = jax.jit(lambda u: ref(u[None], jnp.array([0.004]))[0])(u0)
+        err = float(jnp.abs(u1 - u1_ref).max())
+        print(f"sharded vs single-device max |err| = {err:.2e}")
+        assert err < 1e-4
+
+        fig, axes = plt.subplots(1, 2, figsize=(9, 4))
+        axes[0].imshow(np.asarray(u0), cmap="RdBu"); axes[0].set_title("t = 0")
+        axes[1].imshow(np.asarray(u1), cmap="RdBu")
+        axes[1].set_title("after 20 substeps, sharded over 8 devices")
+        for ax in axes: ax.axis("off")
+        plt.tight_layout()
+        """),
+        md("""
+        When to use which scaling axis: for the benchmark-class 64²–128²
+        control problems, the env **batch** is the scaling axis (pure data
+        parallelism, notebook 15 — zero cross-device traffic in the
+        rollout). Spatial decomposition is for single instances that
+        outgrow a chip (512²+, 3D); its all_to_all/ppermute traffic rides
+        ICI. `docs/parallelism.md` carries the full scaling model.
+        """),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 

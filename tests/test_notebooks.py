@@ -36,6 +36,7 @@ FAST = [
     "13_rl_environments",
     "14_rl_ppo",
     "15_fleets_sharding_checkpoint",
+    "16_spatial_decomposition",
 ]
 RUN = ALL if os.environ.get("PDE_OPT_TPU_NB_ALL") else FAST
 
