@@ -237,9 +237,91 @@ def gen_ac2d_tsit5():
           f"[{u.min():.4f}, {u.max():.4f}]")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Butler-Volmer constant-current Allen-Cahn, 48x48, classical RK4
+# ---------------------------------------------------------------------------
+
+def gen_bv_constant_current():
+    """Galvanostatic Butler-Volmer Allen-Cahn + voltage trace.
+
+    Reference semantics, transcribed: BV kinetics j0*(e^{-a*eta} -
+    e^{(1-a)*eta}) with the overpotential eliminated by the closed-form
+    constant-current closure (quadratic in y = e^{v/2}) and the cell
+    voltage recovered as v = 2*log(y)
+    (/root/reference/pde_opt/numerics/equations/allen_cahn.py:213-281,
+    closure :257-270, get_voltage :272-281).  Advanced by classical RK4.
+    """
+    N = 48
+    dx = 1.0 / N
+    kappa = 5e-4
+    alpha = 0.5
+    Crate = 1.0
+    dt = 5e-4
+    n_steps = 60
+    save_every = 20
+
+    def clip(c):
+        return np.clip(c, 1e-4, 1 - 1e-4)
+
+    def mu_bv(c):
+        return np.log(clip(c) / (1 - clip(c))) + 3.0 * (1.0 - 2.0 * c)
+
+    def j0(c):
+        return np.sqrt(np.clip(c * (1 - c), 1e-6, None))
+
+    cell = dx * dx
+
+    def mu_and_v(u):
+        lap = (
+            (np.roll(u, -1, 0) - 2 * u + np.roll(u, 1, 0)) / dx**2
+            + (np.roll(u, -1, 1) - 2 * u + np.roll(u, 1, 1)) / dx**2
+        )
+        m = mu_bv(u) - kappa * lap
+        j = j0(u)
+        int_plus = np.sum(j * np.exp(0.5 * m)) * cell
+        int_minus = np.sum(j * np.exp(-0.5 * m)) * cell
+        y = (-Crate + np.sqrt(Crate**2 + 4.0 * int_plus * int_minus)) / (
+            2.0 * int_plus)
+        return m, 2.0 * np.log(y), j
+
+    def rhs(u, t):
+        m, v, j = mu_and_v(u)
+        eta = m + v
+        return j * (np.exp(-alpha * eta) - np.exp((1.0 - alpha) * eta))
+
+    rng = np.random.default_rng(4242)
+    u0 = np.clip(0.05 + 0.005 * rng.standard_normal((N, N)), 0.01, 0.99)
+
+    traj, volts = [u0.copy()], [mu_and_v(u0)[1]]
+    u = u0.copy()
+    for k in range(1, n_steps + 1):
+        t = (k - 1) * dt
+        k1 = rhs(u, t)
+        k2 = rhs(u + 0.5 * dt * k1, t + 0.5 * dt)
+        k3 = rhs(u + 0.5 * dt * k2, t + 0.5 * dt)
+        k4 = rhs(u + dt * k3, t + dt)
+        u = u + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        if k % save_every == 0:
+            traj.append(u.copy())
+            volts.append(mu_and_v(u)[1])
+
+    np.savez_compressed(
+        os.path.join(OUT, "bv_cc_rk4.npz"),
+        u0=u0, traj=np.stack(traj), volts=np.asarray(volts),
+        kappa=kappa, alpha=alpha, Crate=Crate, dt=dt,
+        n_steps=n_steps, save_every=save_every, dx=dx, N=N,
+    )
+    print(f"bv_cc_rk4: traj {np.stack(traj).shape}, "
+          f"voltage {volts[0]:+.4f} -> {volts[-1]:+.4f}, "
+          f"mean fill {u.mean():.4f}")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     gen_ch2d("fourier", "ch2d_sif_fourier.npz")
     gen_ch2d("fd", "ch2d_sif_fd.npz")
     gen_strang_imag()
     gen_ac2d_tsit5()
+    gen_bv_constant_current()

@@ -127,3 +127,40 @@ def test_ac2d_tsit5_trajectory_matches_golden():
         u = evolve(Tsit5(), eq.rhs, u, 0.0, dt, save_every)
         got.append(np.asarray(u))
     np.testing.assert_allclose(np.stack(got), z["traj"], rtol=0, atol=1e-12)
+
+
+def test_bv_constant_current_trajectory_and_voltage_match_golden():
+    """Galvanostatic Butler-Volmer Allen-Cahn (the closed-form constant-
+    current closure + get_voltage, reference allen_cahn.py:213-281) vs the
+    numpy golden, field AND voltage trace, classical RK4."""
+    from pde_opt_tpu.models.allen_cahn import (
+        AllenCahn2DPeriodicButlerVolmerConstantCurrent,
+    )
+    from pde_opt_tpu.ops.steppers import RK4
+
+    z = np.load(os.path.join(GOLDENS, "bv_cc_rk4.npz"))
+    N, dx = int(z["N"]), float(z["dx"])
+    dt = float(z["dt"])
+    n_steps, save_every = int(z["n_steps"]), int(z["save_every"])
+
+    L = N * dx
+    domain = Domain((N, N), ((-L / 2, L / 2), (-L / 2, L / 2)),
+                    "dimensionless", dtype=jnp.float64)
+    clip = lambda c: jnp.clip(c, 1e-4, 1 - 1e-4)
+    eq = AllenCahn2DPeriodicButlerVolmerConstantCurrent(
+        domain, float(z["kappa"]),
+        mu=lambda c: jnp.log(clip(c) / (1 - clip(c))) + 3.0 * (1.0 - 2.0 * c),
+        j0=lambda c: jnp.sqrt(jnp.clip(c * (1 - c), 1e-6, None)),
+        alpha=float(z["alpha"]), Crate=float(z["Crate"]),
+    )
+    u = jnp.asarray(z["u0"], jnp.float64)
+    got_traj = [np.asarray(u)]
+    got_volts = [float(eq.get_voltage(u))]
+    for k in range(n_steps // save_every):
+        u = evolve(RK4(), eq.rhs, u, k * save_every * dt, dt, save_every)
+        got_traj.append(np.asarray(u))
+        got_volts.append(float(eq.get_voltage(u)))
+    np.testing.assert_allclose(np.stack(got_traj), z["traj"],
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_volts), z["volts"],
+                               rtol=0, atol=1e-12)
