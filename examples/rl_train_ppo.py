@@ -23,10 +23,11 @@ from pde_opt_tpu.rl import ActorCriticConv, PPOConfig, ppo_train
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env", type=str, default="ch",
-                    choices=["ch", "ac", "gpe"],
+                    choices=["ch", "ac", "gpe", "bv"],
                     help="fleet preset: Cahn-Hilliard (kappa control), "
-                         "Allen-Cahn (kappa control), or Gross-Pitaevskii "
-                         "(optical-spot control)")
+                         "Allen-Cahn (kappa control), Gross-Pitaevskii "
+                         "(optical-spot control), or Butler-Volmer "
+                         "(C-rate charging control)")
     ap.add_argument("--num-envs", type=int, default=256)
     ap.add_argument("--grid", type=int, default=64)
     ap.add_argument("--substeps", type=int, default=10)
@@ -50,13 +51,20 @@ def main():
             substeps=args.substeps,
             spectral_solve="fused" if on_tpu else "fft",
         )
-    else:
+    elif args.env == "gpe":
         from pde_opt_tpu.envs import make_gpe_control_env
 
         env = make_gpe_control_env(
             num_envs=args.num_envs, grid_size=args.grid,
             substeps=args.substeps,
             spectral_solve="fused" if on_tpu else "fft",
+        )
+    else:
+        from pde_opt_tpu.envs import make_butler_volmer_control_env
+
+        env = make_butler_volmer_control_env(
+            num_envs=args.num_envs, grid_size=args.grid,
+            substeps=args.substeps,
         )
     net = ActorCriticConv(action_dim=1, channels=(16, 32), features=64,
                           key=jax.random.PRNGKey(0))

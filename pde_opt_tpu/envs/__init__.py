@@ -4,6 +4,7 @@ from .vector_env import EnvState, VectorPDEEnv
 from .gym_adapter import PDEEnv, AdvectionDiffusionEnv
 from .presets import (
     make_allen_cahn_control_env,
+    make_butler_volmer_control_env,
     make_cahn_hilliard_control_env,
     make_gpe_control_env,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "PDEEnv",
     "AdvectionDiffusionEnv",
     "make_allen_cahn_control_env",
+    "make_butler_volmer_control_env",
     "make_cahn_hilliard_control_env",
     "make_gpe_control_env",
 ]

@@ -19,6 +19,7 @@ __all__ = [
     "make_cahn_hilliard_control_env",
     "make_allen_cahn_control_env",
     "make_gpe_control_env",
+    "make_butler_volmer_control_env",
 ]
 
 
@@ -285,6 +286,76 @@ def make_gpe_control_env(
         },
         control_equation_parameter_name="lights",
         solver_parameters=solver_parameters,
+        num_envs=num_envs,
+        auto_reset=auto_reset,
+        vectorized_control=True,
+    )
+
+
+def make_butler_volmer_control_env(
+    num_envs: int = 1024,
+    grid_size: int = 48,
+    substeps: int = 10,
+    end_time: float = 0.2,
+    step_dt: float = 5e-3,
+    dtype=jnp.float32,
+    auto_reset: bool = True,
+    kappa: float = 5e-4,
+) -> VectorPDEEnv:
+    """Galvanostatic Butler-Volmer charging fleet: the agent drives the C-rate.
+
+    Each env is a phase-separating electrode particle lithiating under the
+    constant-current closure (per-env global integrals stay per-env under
+    the leading batch axis); the action nudges the applied C-rate.  Reward
+    trades charging progress against non-uniformity — the agent learns a
+    charging protocol that fills the particle while suppressing phase
+    separation, the classic electrochemistry control problem the reference's
+    BV family exists for (``/root/reference/pde_opt/numerics/equations/
+    allen_cahn.py:213-281``).  One RL step = ``substeps`` RK4 substeps.
+    """
+    from ..models.allen_cahn import (
+        AllenCahn2DPeriodicButlerVolmerConstantCurrent,
+    )
+    from ..ops.steppers import RK4
+
+    domain = gridmod.Domain(
+        (grid_size, grid_size), ((-0.5, 0.5), (-0.5, 0.5)),
+        "dimensionless", dtype=dtype,
+    )
+    clip = lambda c: jnp.clip(c, 1e-4, 1 - 1e-4)
+
+    return VectorPDEEnv(
+        equation_type=AllenCahn2DPeriodicButlerVolmerConstantCurrent,
+        domain=domain,
+        solver_type=RK4,
+        end_time=end_time,
+        step_dt=step_dt,
+        numeric_dt=step_dt / substeps,
+        state_to_observation_func=lambda y: jnp.clip(y * 255.0, 0, 255).astype(
+            jnp.uint8
+        )[..., None, :, :],
+        # Charge fast, stay uniform: filling progress minus a phase-
+        # separation penalty.
+        reward_function=lambda y: jnp.mean(y) - 10.0 * jnp.var(y),
+        reset_func=lambda domain_, key: jnp.clip(
+            0.05 + 0.005 * jax.random.normal(key, domain_.points, dtype=dtype),
+            0.01, 0.99,
+        ),
+        reset_control_value=jnp.asarray(1.0, dtype),
+        update_control_value=lambda off, old: jnp.clip(
+            old + 0.2 * off[..., 0], 0.2, 3.0
+        ),
+        update_control_parameter=lambda old, new: new[..., None, None],
+        action_space_config={"type": "continuous", "shape": (1,)},
+        static_equation_parameters={
+            "kappa": kappa,
+            "mu": lambda c: jnp.log(clip(c) / (1 - clip(c)))
+            + 3.0 * (1.0 - 2.0 * c),
+            "j0": lambda c: jnp.sqrt(jnp.clip(c * (1 - c), 1e-6, None)),
+            "alpha": 0.5,
+        },
+        control_equation_parameter_name="Crate",
+        solver_parameters={},
         num_envs=num_envs,
         auto_reset=auto_reset,
         vectorized_control=True,
