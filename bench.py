@@ -162,6 +162,19 @@ def bench_ac64(platform):
     return rate
 
 
+def bench_bv48(platform):
+    """Butler-Volmer charging fleet: XLA RK4 with per-env galvanostatic
+    closure (global integrals inside the rhs)."""
+    if platform == "cpu":
+        return None
+    from pde_opt_tpu.envs import make_butler_volmer_control_env
+
+    env = make_butler_volmer_control_env(num_envs=2048, grid_size=48,
+                                         substeps=SUBSTEPS)
+    rate, _ = _rollout_rate(env, 2048, 40, key0=80)
+    return rate
+
+
 def bench_gpe64(platform):
     """GPE Strang fleet: fused cas kernel vs merged-FFT path."""
     if platform == "cpu":
@@ -379,6 +392,9 @@ def main():
         if r:
             configs["ac_64x64_4096envs_fused"] = {
                 "env_steps_per_s": round(r, 1)}
+        r = bench_bv48(platform)
+        if r:
+            configs["bv_48x48_2048envs"] = {"env_steps_per_s": round(r, 1)}
         r = bench_gpe64(platform)
         if r:
             configs["gpe_strang_64x64_1024envs"] = {
