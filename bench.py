@@ -163,16 +163,22 @@ def bench_ac64(platform):
 
 
 def bench_bv48(platform):
-    """Butler-Volmer charging fleet: XLA RK4 with per-env galvanostatic
-    closure (global integrals inside the rhs)."""
+    """Butler-Volmer charging fleet: fused Pallas RK4 kernel (64², env
+    packing) vs the XLA RK4 path (48², its best-case grid — at 64² XLA
+    falls off a 10x fusion cliff)."""
     if platform == "cpu":
         return None
     from pde_opt_tpu.envs import make_butler_volmer_control_env
 
-    env = make_butler_volmer_control_env(num_envs=2048, grid_size=48,
-                                         substeps=SUBSTEPS)
-    rate, _ = _rollout_rate(env, 2048, 40, key0=80)
-    return rate
+    out = {}
+    for key, method, grid in (("fused_64", "fused", 64),
+                              ("xla_48", "rk4", 48)):
+        env = make_butler_volmer_control_env(num_envs=2048, grid_size=grid,
+                                             substeps=SUBSTEPS, method=method)
+        rate, _ = _rollout_rate(env, 2048, 40, key0=80)
+        if rate:
+            out[key] = rate
+    return out or None
 
 
 def bench_gpe64(platform):
@@ -394,7 +400,9 @@ def main():
                 "env_steps_per_s": round(r, 1)}
         r = bench_bv48(platform)
         if r:
-            configs["bv_48x48_2048envs"] = {"env_steps_per_s": round(r, 1)}
+            configs["bv_2048envs"] = {
+                f"{k}_env_steps_per_s": round(v, 1) for k, v in r.items()
+            }
         r = bench_gpe64(platform)
         if r:
             configs["gpe_strang_64x64_1024envs"] = {

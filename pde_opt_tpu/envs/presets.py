@@ -301,6 +301,7 @@ def make_butler_volmer_control_env(
     dtype=jnp.float32,
     auto_reset: bool = True,
     kappa: float = 5e-4,
+    method: str = "rk4",
 ) -> VectorPDEEnv:
     """Galvanostatic Butler-Volmer charging fleet: the agent drives the C-rate.
 
@@ -316,7 +317,16 @@ def make_butler_volmer_control_env(
     from ..models.allen_cahn import (
         AllenCahn2DPeriodicButlerVolmerConstantCurrent,
     )
-    from ..ops.steppers import RK4
+
+    if method == "fused":
+        # Whole-macro-step Pallas kernel (ops/bv_cas.py): cas-matmul
+        # Laplacians + in-kernel galvanostatic closure.  Grid must divide
+        # 128 for env packing (use grid_size=64).
+        from ..ops.steppers import FusedButlerVolmer as _solver_type
+    elif method == "rk4":
+        from ..ops.steppers import RK4 as _solver_type
+    else:
+        raise ValueError(f"unknown method: {method!r}")
 
     domain = gridmod.Domain(
         (grid_size, grid_size), ((-0.5, 0.5), (-0.5, 0.5)),
@@ -327,7 +337,7 @@ def make_butler_volmer_control_env(
     return VectorPDEEnv(
         equation_type=AllenCahn2DPeriodicButlerVolmerConstantCurrent,
         domain=domain,
-        solver_type=RK4,
+        solver_type=_solver_type,
         end_time=end_time,
         step_dt=step_dt,
         numeric_dt=step_dt / substeps,

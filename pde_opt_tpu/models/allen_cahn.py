@@ -206,6 +206,14 @@ class AllenCahn2DPeriodicButlerVolmerConstantCurrent(BaseEquation, _Spectral2D):
 
     fft = None
     ifft = None
+    # Class-level placeholders so solver-compat checks (which inspect the
+    # class) see the attrs the fused stepper pulls off instances.
+    kappa = None
+    mu = None
+    j0 = None
+    alpha = None
+    Crate = None
+    domain = None
 
     def __init__(self, domain: Domain, kappa, mu: Callable, j0: Callable,
                  alpha: float, Crate: float, derivs: str = "fd"):

@@ -34,6 +34,7 @@ __all__ = [
     "FusedSemiImplicitSpectral",
     "FusedSemiImplicitSpectral3D",
     "FusedAllenCahnSpectral",
+    "FusedButlerVolmer",
     "FusedStrangControl",
     "StrangSplitting",
     "DirectionalSplitting",
@@ -789,3 +790,64 @@ class ImplicitEuler(AbstractStepper):
             and (self.newton_iters, self.gmres_iters, self.tol)
             == (other.newton_iters, other.gmres_iters, other.tol)
         )
+
+
+class FusedButlerVolmer(AbstractStepper):
+    """Whole-macro-step fused Pallas RK4 stepper for the galvanostatic
+    Butler-Volmer charging env.
+
+    All substeps of an :func:`~pde_opt_tpu.ops.integrate.evolve` call run
+    in one cas/MXU Pallas kernel (:mod:`pde_opt_tpu.ops.bv_cas`): FD
+    Laplacians as packed cas matmuls, the constant-current closure
+    (per-env global integrals + closed-form overpotential, alpha = 1/2)
+    on the VPU.  The per-env applied C-rate is the traced control.
+    Differentiable (custom VJP through the checkpointed roll-stencil
+    oracle) w.r.t. both the state and the C-rate.
+    """
+
+    required_equation_attrs = ("kappa", "mu", "j0", "alpha", "Crate",
+                               "domain")
+    order = 4
+
+    def __init__(self, kappa, mu, j0, alpha, Crate, domain,
+                 block_envs=None, mats_dtype=None, interpret=None):
+        if float(alpha) != 0.5:
+            raise ValueError(
+                "FusedButlerVolmer implements the alpha=1/2 closed-form "
+                "galvanostatic closure (as the reference does); got "
+                f"alpha={alpha}"
+            )
+        self.kappa = kappa
+        self.mu = mu
+        self.j0 = j0
+        self.alpha = alpha
+        self.Crate = Crate
+        self.domain = domain
+        self.block_envs = block_envs
+        self.mats_dtype = mats_dtype
+        self.interpret = interpret
+
+    def evolve(self, rhs, y0, t0, dt, n_steps, unroll=1):
+        del rhs, t0, unroll
+        if isinstance(dt, jax.core.Tracer):
+            raise TypeError("FusedButlerVolmer requires trace-time concrete dt")
+        from .bv_cas import make_bv_cc_fused_macro
+
+        H, W = self.domain.points
+        hx, hy = self.domain.dx
+        kwargs = {}
+        if self.mats_dtype is not None:
+            kwargs["mats_dtype"] = self.mats_dtype
+        macro = make_bv_cc_fused_macro(
+            self.mu, self.j0, float(self.kappa), H, W, float(hx), float(hy),
+            float(dt), int(n_steps), block_envs=self.block_envs,
+            interpret=self.interpret, **kwargs,
+        )
+        crate = jnp.asarray(self.Crate)
+        crate = jnp.broadcast_to(jnp.squeeze(crate, axis=tuple(
+            range(crate.ndim - 2, crate.ndim))) if crate.ndim >= 2 else crate,
+            y0.shape[:-2])
+        return macro(y0, crate)
+
+    def step(self, rhs, y, t, dt):
+        return self.evolve(rhs, y, t, dt, 1), None

@@ -1,0 +1,63 @@
+"""Fused Butler-Volmer cas kernel vs its roll-stencil RK4 oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pde_opt_tpu.ops.bv_cas import bv_cc_reference, make_bv_cc_fused_macro
+
+CLIP = lambda c: jnp.clip(c, 1e-4, 1 - 1e-4)
+MU = lambda c: jnp.log(CLIP(c) / (1 - CLIP(c))) + 3.0 * (1.0 - 2.0 * c)
+J0 = lambda c: jnp.sqrt(jnp.clip(c * (1 - c), 1e-6, None))
+
+
+def _setup(B=5, N=16, seed=0):
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(np.clip(0.1 + 0.01 * rng.standard_normal((B, N, N)),
+                            0.01, 0.99), jnp.float32)
+    crate = jnp.linspace(0.5, 2.0, B)
+    return u, crate
+
+
+def test_bv_cas_macro_matches_oracle():
+    u, crate = _setup()
+    N = u.shape[1]
+    h = 1.0 / N
+    kappa, dt, n = 5e-4, 5e-4, 4
+    macro = make_bv_cc_fused_macro(MU, J0, kappa, N, N, h, h, dt, n,
+                                   mats_dtype=jnp.float32, interpret=True)
+    ref = bv_cc_reference(MU, J0, kappa, h, h, dt, n)
+    np.testing.assert_allclose(np.asarray(macro(u, crate)),
+                               np.asarray(ref(u, crate)),
+                               rtol=0, atol=2e-5)
+
+
+def test_bv_cas_macro_charging_rate_is_galvanostatic():
+    """d<c>/dt must equal Crate/area per env (area = 1 here)."""
+    u, crate = _setup(B=3, seed=1)
+    N = u.shape[1]
+    h = 1.0 / N
+    dt, n = 5e-4, 10
+    macro = make_bv_cc_fused_macro(MU, J0, 5e-4, N, N, h, h, dt, n,
+                                   mats_dtype=jnp.float32, interpret=True)
+    u1 = macro(u, crate)
+    rate = np.asarray((u1.mean(axis=(-2, -1)) - u.mean(axis=(-2, -1)))
+                      / (dt * n))
+    np.testing.assert_allclose(rate, np.asarray(crate), rtol=0.02)
+
+
+def test_bv_cas_macro_grads_match_oracle():
+    u, crate = _setup(B=2, seed=2)
+    N = u.shape[1]
+    h = 1.0 / N
+    macro = make_bv_cc_fused_macro(MU, J0, 5e-4, N, N, h, h, 5e-4, 2,
+                                   mats_dtype=jnp.float32, interpret=True)
+    ref = bv_cc_reference(MU, J0, 5e-4, h, h, 5e-4, 2)
+    gu_f, gc_f = jax.grad(lambda a, b: jnp.sum(macro(a, b) ** 2),
+                          argnums=(0, 1))(u, crate)
+    gu_r, gc_r = jax.grad(lambda a, b: jnp.sum(ref(a, b) ** 2),
+                          argnums=(0, 1))(u, crate)
+    np.testing.assert_allclose(np.asarray(gu_f), np.asarray(gu_r),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc_f), np.asarray(gc_r),
+                               rtol=1e-4, atol=1e-8)

@@ -210,3 +210,20 @@ class TestButlerVolmerPreset:
         m1 = np.asarray(state.y.mean(axis=(-2, -1)))
         # Crate=1, area=1 -> d<c>/dt = 1 per env over step_dt.
         np.testing.assert_allclose((m1 - m0) / env.step_dt, 1.0, rtol=0.05)
+
+
+def test_bv_fused_method_matches_rk4_path():
+    """Fused BV kernel through the env == the XLA RK4 env, per env."""
+    from pde_opt_tpu.envs import make_butler_volmer_control_env
+
+    kw = dict(num_envs=3, grid_size=16, substeps=4, auto_reset=False)
+    env_r = make_butler_volmer_control_env(method="rk4", **kw)
+    env_f = make_butler_volmer_control_env(method="fused", **kw)
+    sr, _ = env_r.reset(jax.random.PRNGKey(3))
+    sf, _ = env_f.reset(jax.random.PRNGKey(3))
+    acts = jnp.array([[0.5], [-0.5], [0.0]])
+    for _ in range(3):
+        sr, *_ = env_r.step(sr, acts)
+        sf, *_ = env_f.step(sf, acts)
+    np.testing.assert_allclose(np.asarray(sf.y), np.asarray(sr.y),
+                               rtol=0, atol=5e-5)
