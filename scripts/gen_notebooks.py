@@ -560,8 +560,12 @@ def _nb07():
         same on an irregular particle: its global integrals become
         $\\psi$-weighted. The whole family is batch-transparent — the
         per-env global integral stays per-env under a leading batch axis
-        (see `tests/test_butler_volmer.py`), which is what lets Butler-Volmer
-        env fleets run in lockstep.
+        (see `tests/test_butler_volmer.py`) — which is what lets
+        Butler-Volmer env fleets run in lockstep:
+        `make_butler_volmer_control_env` turns this physics into an RL
+        charging-protocol problem (the agent drives the C-rate), and its
+        fused Pallas kernel (`ops/bv_cas.py`, in-kernel RK4 + closure) runs
+        **307k env-steps/s** at 2048×64² on one v5e — 12.5× the XLA path.
         """),
     ]
 
