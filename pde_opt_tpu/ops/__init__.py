@@ -9,6 +9,8 @@ from .steppers import (
     SemiImplicitFourierSpectral,
     FusedSemiImplicitSpectral,
     FusedAllenCahnSpectral,
+    FusedButlerVolmer,
+    FusedStrangControl,
     StrangSplitting,
     DirectionalSplitting,
     ImplicitEuler,
@@ -26,6 +28,8 @@ __all__ = [
     "SemiImplicitFourierSpectral",
     "FusedSemiImplicitSpectral",
     "FusedAllenCahnSpectral",
+    "FusedButlerVolmer",
+    "FusedStrangControl",
     "StrangSplitting",
     "DirectionalSplitting",
     "ImplicitEuler",

@@ -61,3 +61,16 @@ def test_bv_cas_macro_grads_match_oracle():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gc_f), np.asarray(gc_r),
                                rtol=1e-4, atol=1e-8)
+
+
+def test_fused_bv_stepper_rejects_non_half_alpha():
+    """The closed-form closure only exists at alpha = 1/2."""
+    import pytest
+
+    from pde_opt_tpu.grid import Domain
+    from pde_opt_tpu.ops.steppers import FusedButlerVolmer
+
+    domain = Domain((16, 16), ((-0.5, 0.5), (-0.5, 0.5)))
+    with pytest.raises(ValueError, match="alpha"):
+        FusedButlerVolmer(kappa=5e-4, mu=MU, j0=J0, alpha=0.3,
+                          Crate=1.0, domain=domain)
