@@ -42,11 +42,11 @@ def main():
     stepper = p.RK4()
     voltages = []
     fill = []
-    for i in range(args.steps):
-        u = p.evolve(stepper, eq.rhs, u, i * dt, dt, 1)
-        if i % 20 == 0:
-            voltages.append(float(eq.get_voltage(u)))
-            fill.append(float(u.mean()))
+    chunk = 20                      # one compiled scan per record point
+    for i in range(0, args.steps, chunk):
+        voltages.append(float(eq.get_voltage(u)))
+        fill.append(float(u.mean()))
+        u = p.evolve(stepper, eq.rhs, u, i * dt, dt, chunk)
     print("state of charge:", [f"{f:.3f}" for f in fill])
     print("cell voltage:   ", [f"{v:+.3f}" for v in voltages])
     # Conservation check: mean filling rate == Crate / area
