@@ -47,12 +47,15 @@ def main():
         voltages.append(float(eq.get_voltage(u)))
         fill.append(float(u.mean()))
         u = p.evolve(stepper, eq.rhs, u, i * dt, dt, chunk)
+    # Final record: the post-evolution state after the full args.steps steps.
+    voltages.append(float(eq.get_voltage(u)))
+    fill.append(float(u.mean()))
     print("state of charge:", [f"{f:.3f}" for f in fill])
     print("cell voltage:   ", [f"{v:+.3f}" for v in voltages])
     # Conservation check: mean filling rate == Crate / area
     area = domain.L[0] * domain.L[1]
     print(f"expected d<c>/dt = Crate/area = {args.crate/area:.3f}; "
-          f"measured ≈ {(fill[-1]-fill[0])/(20*dt*(len(fill)-1)):.3f}")
+          f"measured ≈ {(fill[-1]-fill[0])/(chunk*dt*(len(fill)-1)):.3f}")
 
 
 if __name__ == "__main__":

@@ -35,18 +35,25 @@ __all__ = [
 ]
 
 
+def _legendre_basis(v, degree: int):
+    """Stack ``[P_0(v), ..., P_degree(v)]`` along a new leading axis.
+
+    Built by Bonnet's recursion ``(n+1)·P_{n+1} = (2n+1)·v·P_n − n·P_{n−1}``;
+    each term is a fused multiply-add chain on the VPU, and the stacked
+    layout lets callers contract coefficient tensors against it in one op.
+    """
+    basis = [jnp.ones_like(v)]
+    if degree >= 1:
+        basis.append(v)
+    for n in range(1, degree):
+        basis.append(((2 * n + 1) * v * basis[n] - n * basis[n - 1]) / (n + 1))
+    return jnp.stack(basis, axis=0)  # (degree+1, *v.shape)
+
+
 def legval(params, x, max_degree: int):
-    """Σ_n params[n]·P_n(x) via the Bonnet three-term recurrence."""
-    result = params[0] * jnp.ones_like(x)
-    if max_degree >= 1:
-        result = result + params[1] * x
-    p_prev = jnp.ones_like(x)
-    p_curr = x
-    for n in range(2, max_degree + 1):
-        p_next = ((2 * n - 1) * x * p_curr - (n - 1) * p_prev) / n
-        result = result + params[n] * p_next
-        p_prev, p_curr = p_curr, p_next
-    return result
+    """Σ_n params[n]·P_n(x): coefficient contraction against the stacked basis."""
+    coeffs = jnp.asarray(params)[: max_degree + 1]
+    return jnp.tensordot(coeffs, _legendre_basis(x, max_degree), axes=1)
 
 
 @module(data_fields=("params",), static_fields=("max_degree",))
@@ -76,16 +83,8 @@ class LegendrePolynomialExpansion2D:
         self.max_degree_y = params.shape[1] - 1
 
     def __call__(self, x, y):
-        def basis(v, deg):
-            ps = [jnp.ones_like(v)]
-            if deg >= 1:
-                ps.append(v)
-            for n in range(2, deg + 1):
-                ps.append(((2 * n - 1) * v * ps[-1] - (n - 1) * ps[-2]) / n)
-            return jnp.stack(ps, axis=0)  # (deg+1, ...)
-
-        Px = basis(x, self.max_degree_x)
-        Py = basis(y, self.max_degree_y)
+        Px = _legendre_basis(x, self.max_degree_x)
+        Py = _legendre_basis(y, self.max_degree_y)
         return jnp.einsum("mn,m...,n...->...", self.params, Px, Py)
 
 

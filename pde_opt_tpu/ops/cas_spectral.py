@@ -558,13 +558,27 @@ def make_ac_cas_fused_macro(
         )
 
     # Identity-R detection: R == 1 drops 2 matmuls/substep (see docstring).
+    # The probe ASSUMES R is pointwise-constant if it matches: it samples a
+    # wide domain ([-64, 64], dense near the physical [-2, 2] band) with
+    # exact equality, so any clamped/saturating mobility that is 1 only
+    # locally must differ somewhere in the probe range to be caught.  An R
+    # that equals 1 on [-64, 64] but not beyond is treated as identity —
+    # callers with such an R must pass it as a genuinely non-identity
+    # function (e.g. multiply by (1 + 0*u) does NOT help; perturb a probe
+    # point) or use R_fn=None only when R truly is 1.  The fast path matters
+    # because the custom-VJP backward recomputes through the true R_fn; a
+    # wrong identity verdict would silently desynchronize forward/backward.
     # The macro is usually built while tracing the env step, where
     # omnistaging would turn R_fn(probe) into a tracer — force compile-time
     # evaluation so the probe stays concrete.
     if R_fn is None:
         r_identity = True
     else:
-        probe = np.linspace(-2.0, 2.0, 64)
+        probe = np.concatenate([
+            np.linspace(-2.0, 2.0, 257),
+            np.geomspace(2.0, 64.0, 32),
+            -np.geomspace(2.0, 64.0, 32),
+        ])
         try:
             with jax.ensure_compile_time_eval():
                 r_identity = bool(

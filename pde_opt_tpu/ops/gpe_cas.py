@@ -139,15 +139,19 @@ def make_gpe_strang_cas_macro(
         dx: grid spacing (square cells; the GPE stack is isotropic).
         dt: substep size; real-time propagation.
         n_steps: substeps per macro-step (merged-half-step scheme).
-        phase_poly: evaluate the pointwise B-phase rotation with degree-7
+        phase_poly: evaluate the pointwise B-phase rotation with degree-7/6
             odd/even Taylor polynomials instead of hardware sin/cos.  The
             per-substep phase ``theta = dt*(V + ctrl + g|psi|^2)`` must
             satisfy ``|theta| << 1`` for the Strang splitting itself to be
-            accurate, and on that domain the polynomials are exact to f32
-            (error < 1e-7 up to |theta| = 0.7, < 1e-10 at 0.2); dropping
-            the two transcendentals removes ~40% of the kernel's runtime
-            (VPU-bound ablation, ``scripts/profile_gpe.py``).  Set False
-            for full-range hardware sin/cos.
+            accurate; on that domain the truncation error is the cosine
+            Taylor remainder ``~theta^8/8!`` — about 1.4e-6 at |theta| = 0.7,
+            2e-11 at 0.2, i.e. below f32 resolution for |theta| <= ~0.35 and
+            ~1e-6 (comparable to a few f32 ulps of accumulated phase) at 0.7.
+            Dropping the two transcendentals removes ~40% of the kernel's
+            runtime (VPU-bound ablation, ``scripts/profile_gpe.py``).  There
+            is no runtime guard on |theta|: callers whose
+            ``dt*(V + ctrl + g|psi|^2)`` can exceed ~0.7 must pass
+            ``phase_poly=False`` for full-range hardware sin/cos.
 
     ``y``: (..., H, W, 2) real-stacked state; ``ctrl``: (..., H, W) per-env
     control potential (broadcast leading axes against ``y``'s batch).

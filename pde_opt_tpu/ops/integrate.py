@@ -233,6 +233,19 @@ def integrate_adaptive(
     n_save = ts.shape[0]
     t0 = ts[0]
     t_final = ts[-1]
+    time_dtype = jnp.result_type(ts.dtype, jnp.float32)
+    # Dtype-aware time tolerance: save capture and loop termination compare
+    # accumulated step times against the save grid, so the slack must scale
+    # with the time dtype's resolution at the magnitude of the run (an
+    # absolute 1e-12 is below one ulp for f32 runs with t ~ 1, which could
+    # defer the final write past loop exit).  Interior points can never be
+    # *skipped* regardless: a point not yet captured when t passes it is
+    # written on the next accepted step by (slightly extrapolated) linear
+    # interpolation, and the final accepted step — the one that ends the
+    # loop by reaching t_final - tol — captures every remaining point
+    # because ts[i] <= t_final <= t_new + 2*tol.
+    tmax = jnp.maximum(jnp.max(jnp.abs(ts)), 1.0).astype(time_dtype)
+    time_tol = 32.0 * jnp.finfo(time_dtype).eps * tmax
     ys_buf = jnp.zeros((n_save,) + y0.shape, dtype=y0.dtype)
     ys_buf = ys_buf.at[0].set(y0)
 
@@ -258,7 +271,9 @@ def integrate_adaptive(
 
         def wcond(s):
             _, i = s
-            return (i < n_save) & accept & (ts[jnp.minimum(i, n_save - 1)] <= t_new + 1e-12)
+            return (i < n_save) & accept & (
+                ts[jnp.minimum(i, n_save - 1)] <= t_new + 2.0 * time_tol
+            )
 
         def wbody(s):
             b, i = s
@@ -274,7 +289,7 @@ def integrate_adaptive(
 
     def cond_with_buf(carry):
         (t, y, dt, save_idx, n_acc, n_rej), _ = carry
-        return (t < t_final - 1e-12) & (n_acc + n_rej < max_steps)
+        return (t < t_final - time_tol) & (n_acc + n_rej < max_steps)
 
     init = (
         (
@@ -290,8 +305,12 @@ def integrate_adaptive(
     (tf, yf, dtf, save_idx, n_acc, n_rej), ys = jax.lax.while_loop(
         cond_with_buf, body_with_buf, init
     )
-    # Backstop: guarantee the final save slot holds the final state even if
-    # floating-point cursor logic left it unwritten.
+    # Backstop for max_steps exhaustion ONLY: on a normal exit the final
+    # accepted step always writes the last slot (its wcond tolerance is
+    # twice the loop-exit tolerance, see time_tol above; property-tested on
+    # adversarial f32 save grids in tests/test_solvers.py).  If the loop
+    # died on the step budget mid-run, the final slot holds the last state
+    # reached rather than zeros.
     ys = ys.at[n_save - 1].set(
         jnp.where(save_idx >= n_save, ys[n_save - 1], yf)
     )

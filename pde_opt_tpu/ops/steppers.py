@@ -44,6 +44,30 @@ __all__ = [
 Array = jax.Array
 
 
+def _normalize_per_env_control(ctrl, batch_shape, name: str = "control"):
+    """Canonicalize a per-env scalar control to ``batch_shape``.
+
+    Fused steppers receive their per-env scalar control (kappa, C-rate, ...)
+    from the env layer, where it naturally appears in several shapes: scalar
+    (shared), ``batch_shape`` itself (e.g. ``(B,)``), or ``batch_shape`` plus
+    trailing singleton broadcast axes (``(B, 1)``, ``(B, 1, 1)`` — the output
+    of ``update_control_value`` / ``update_control_parameter``).  All are
+    accepted; anything else (a trailing non-singleton axis that is not part
+    of the batch) is an error rather than a silent mis-broadcast.
+    """
+    ctrl = jnp.asarray(ctrl)
+    while ctrl.ndim > len(batch_shape):
+        if ctrl.shape[-1] != 1:
+            raise ValueError(
+                f"{name} shape {ctrl.shape} does not broadcast to the env "
+                f"batch {tuple(batch_shape)}: expected scalar, "
+                f"{tuple(batch_shape)}, or {tuple(batch_shape)} plus "
+                "trailing singleton axes"
+            )
+        ctrl = ctrl[..., 0]
+    return jnp.broadcast_to(ctrl, batch_shape)
+
+
 class AbstractStepper:
     """Base class: one explicit/implicit time step with optional error estimate."""
 
@@ -347,7 +371,8 @@ class FusedSemiImplicitSpectral(AbstractStepper):
             raise TypeError(
                 "FusedSemiImplicitSpectral requires trace-time concrete dt"
             )
-        return self._macro(dt, n_steps)(y0, self.kappa)
+        kappa = _normalize_per_env_control(self.kappa, y0.shape[:-2], "kappa")
+        return self._macro(dt, n_steps)(y0, kappa)
 
     def step(self, rhs, y, t, dt):
         y1 = self.evolve(rhs, y, t, dt, 1)
@@ -415,7 +440,8 @@ class FusedAllenCahnSpectral(AbstractStepper):
             H, W, float(hx), float(hy), block_envs=self.block_envs,
             interpret=self.interpret, **kwargs,
         )
-        return macro(y0, self.kappa)
+        kappa = _normalize_per_env_control(self.kappa, y0.shape[:-2], "kappa")
+        return macro(y0, kappa)
 
     def step(self, rhs, y, t, dt):
         y1 = self.evolve(rhs, y, t, dt, 1)
@@ -473,7 +499,8 @@ class FusedSemiImplicitSpectral3D(AbstractStepper):
             self.mu, N1, N2, N3, float(h1), float(h2), float(h3),
             self.A, float(dt), int(n_steps), **kwargs,
         )
-        return macro(y0, self.kappa)
+        kappa = _normalize_per_env_control(self.kappa, y0.shape[:-3], "kappa")
+        return macro(y0, kappa)
 
     def step(self, rhs, y, t, dt):
         return self.evolve(rhs, y, t, dt, 1), None
@@ -843,10 +870,7 @@ class FusedButlerVolmer(AbstractStepper):
             float(dt), int(n_steps), block_envs=self.block_envs,
             interpret=self.interpret, **kwargs,
         )
-        crate = jnp.asarray(self.Crate)
-        crate = jnp.broadcast_to(jnp.squeeze(crate, axis=tuple(
-            range(crate.ndim - 2, crate.ndim))) if crate.ndim >= 2 else crate,
-            y0.shape[:-2])
+        crate = _normalize_per_env_control(self.Crate, y0.shape[:-2], "Crate")
         return macro(y0, crate)
 
     def step(self, rhs, y, t, dt):
