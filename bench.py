@@ -163,15 +163,17 @@ def bench_ac64(platform):
 
 
 def bench_bv48(platform):
-    """Butler-Volmer charging fleet: fused Pallas RK4 kernel (64², env
-    packing) vs the XLA RK4 path (48², its best-case grid — at 64² XLA
-    falls off a 10x fusion cliff)."""
+    """Butler-Volmer charging fleet: fused Pallas RK4 kernel vs the XLA RK4
+    path at the SAME 64² grid (the preset default), plus the XLA path at its
+    best-case 48² grid for context (at 64² XLA falls off an in-scan fusion
+    cliff, see docs/performance.md)."""
     if platform == "cpu":
         return None
     from pde_opt_tpu.envs import make_butler_volmer_control_env
 
     out = {}
     for key, method, grid in (("fused_64", "fused", 64),
+                              ("xla_64", "rk4", 64),
                               ("xla_48", "rk4", 48)):
         env = make_butler_volmer_control_env(num_envs=2048, grid_size=grid,
                                              substeps=SUBSTEPS, method=method)
@@ -179,6 +181,20 @@ def bench_bv48(platform):
         if rate:
             out[key] = rate
     return out or None
+
+
+def bench_sbm_bv(platform):
+    """Smoothed-boundary galvanostatic BV charging fleet (XLA RK4 path —
+    psi-dependent stencils are not circular convolutions, so no cas
+    kernel applies)."""
+    if platform == "cpu":
+        return None
+    from pde_opt_tpu.envs import make_sbm_butler_volmer_control_env
+
+    env = make_sbm_butler_volmer_control_env(num_envs=1024, grid_size=64,
+                                             substeps=SUBSTEPS)
+    rate, _ = _rollout_rate(env, 1024, 40, key0=90)
+    return rate
 
 
 def bench_gpe64(platform):
@@ -247,8 +263,16 @@ def bench_ch3d(platform):
 
 def bench_ppo(platform):
     """End-to-end PPO training rate: one jitted update = 16-step rollout
-    over the fused 4096-env fleet + GAE + 2 epochs x 8 minibatches of
-    clipped-surrogate conv-policy updates."""
+    over the fused 4096-env fleet + GAE + 2 epochs x 4 minibatches of
+    clipped-surrogate conv-policy updates.
+
+    Learner pipeline (round-3 rework of the round-2 434.8 ms update, which
+    spent 93% of the chip on the conv policy over full-resolution 64²
+    observations): 4x average-pooled 16² observations (the env owns
+    ``state_to_observation_func``; reward/physics unchanged at 64²) and a
+    bf16-compute policy.  Also reports the physics:learner time split — the
+    random-policy rollout of the SAME env/obs config is the physics+obs
+    floor; everything above it is the learner."""
     if platform == "cpu":
         return None
     import time as _time
@@ -257,20 +281,32 @@ def bench_ppo(platform):
     from pde_opt_tpu.rl import ActorCriticConv, PPOConfig, ppo_train
 
     B = NUM_ENVS
+    T = 16
     env = make_cahn_hilliard_control_env(
         num_envs=B, grid_size=GRID, substeps=SUBSTEPS, derivs="pallas",
-        vectorized_control=True, spectral_solve="fused",
+        vectorized_control=True, spectral_solve="fused", obs_downsample=4,
     )
     net = ActorCriticConv(action_dim=1, channels=(16, 32), features=64,
+                          compute_dtype=jnp.bfloat16,
                           key=jax.random.PRNGKey(70))
-    cfg = PPOConfig(rollout_steps=16, epochs=2, minibatches=8, lr=3e-4)
+    cfg = PPOConfig(rollout_steps=T, epochs=2, minibatches=4, lr=3e-4)
     times = []
     ppo_train(env, net, cfg, num_updates=8, key=jax.random.PRNGKey(71),
               log_fn=lambda u, m: times.append(_time.perf_counter()))
     if len(times) < 4:
         return None
     dt = (times[-1] - times[1]) / (len(times) - 2)   # steady-state
-    return 16 * B / dt
+
+    # Physics+obs floor: random-policy rollout of the same env, same T.
+    phys_rate, _ = _rollout_rate(env, B, T, timed_runs=6, key0=72)
+    out = {"trained_env_steps_per_s": round(T * B / dt, 1),
+           "update_ms": round(1e3 * dt, 1)}
+    if phys_rate:
+        phys_ms = 1e3 * T * B / phys_rate
+        out["physics_ms"] = round(phys_ms, 1)
+        out["learner_ms"] = round(1e3 * dt - phys_ms, 1)
+        out["physics_share"] = round(phys_ms / (1e3 * dt), 3)
+    return out
 
 
 def bench_train_grad(platform):
@@ -403,6 +439,10 @@ def main():
             configs["bv_2048envs"] = {
                 f"{k}_env_steps_per_s": round(v, 1) for k, v in r.items()
             }
+        r = bench_sbm_bv(platform)
+        if r:
+            configs["sbm_bv_64x64_1024envs"] = {
+                "env_steps_per_s": round(r, 1)}
         r = bench_gpe64(platform)
         if r:
             configs["gpe_strang_64x64_1024envs"] = {
@@ -417,8 +457,7 @@ def main():
             }
         r = bench_ppo(platform)
         if r:
-            configs["ppo_64x64_4096envs"] = {
-                "trained_env_steps_per_s": round(r, 1)}
+            configs["ppo_64x64_4096envs"] = r
         fused_g, xla_g = bench_train_grad(platform)
         if fused_g and xla_g:
             configs["train_grad_64x64_1024envs"] = {

@@ -7,6 +7,7 @@ from .presets import (
     make_butler_volmer_control_env,
     make_cahn_hilliard_control_env,
     make_gpe_control_env,
+    make_sbm_butler_volmer_control_env,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "make_butler_volmer_control_env",
     "make_cahn_hilliard_control_env",
     "make_gpe_control_env",
+    "make_sbm_butler_volmer_control_env",
 ]

@@ -20,6 +20,7 @@ __all__ = [
     "make_allen_cahn_control_env",
     "make_gpe_control_env",
     "make_butler_volmer_control_env",
+    "make_sbm_butler_volmer_control_env",
 ]
 
 
@@ -34,6 +35,7 @@ def make_cahn_hilliard_control_env(
     derivs: str = "fd",
     vectorized_control: bool = True,
     spectral_solve: str = "fft",
+    obs_downsample: int = 1,
 ) -> VectorPDEEnv:
     """64×64 Cahn-Hilliard control fleet: the agent drives κ (interface width).
 
@@ -41,7 +43,18 @@ def make_cahn_hilliard_control_env(
     observation is the uint8-scaled concentration field; reward is negative
     variance (drive toward uniformity — fighting the spinodal decomposition
     the PDE wants).
+
+    ``obs_downsample``: average-pool factor applied to the field before the
+    uint8 observation (must divide ``grid_size``).  The physics always runs
+    at full resolution; a 4x pool turns the 64² observation into 16² — a
+    16x cut in the RL learner's conv/memory cost that preserves the
+    variance-control signal (the reward is a global statistic).  This is
+    the learner-pipeline knob behind the PPO bench config.
     """
+    if grid_size % obs_downsample:
+        raise ValueError(
+            f"obs_downsample={obs_downsample} must divide grid_size={grid_size}"
+        )
     L = 0.01 * grid_size
     domain = gridmod.Domain(
         (grid_size, grid_size), ((-L / 2, L / 2), (-L / 2, L / 2)),
@@ -82,6 +95,14 @@ def make_cahn_hilliard_control_env(
         solver_parameters = {"A": 0.5}
     else:
         raise ValueError(f"unknown spectral_solve: {spectral_solve!r}")
+    ds = int(obs_downsample)
+
+    def observe(y):
+        if ds > 1:
+            *b, h, w = y.shape
+            y = y.reshape(*b, h // ds, ds, w // ds, ds).mean(axis=(-3, -1))
+        return jnp.clip(y * 255.0, 0, 255).astype(jnp.uint8)[..., None, :, :]
+
     return VectorPDEEnv(
         equation_type=CahnHilliard2DPeriodic,
         domain=domain,
@@ -89,9 +110,7 @@ def make_cahn_hilliard_control_env(
         end_time=end_time,
         step_dt=step_dt,
         numeric_dt=step_dt / substeps,
-        state_to_observation_func=lambda y: jnp.clip(y * 255.0, 0, 255).astype(
-            jnp.uint8
-        )[..., None, :, :],
+        state_to_observation_func=observe,
         reward_function=lambda y: -jnp.var(y),
         reset_func=lambda domain, key: jnp.clip(
             0.5 + 0.01 * jax.random.normal(key, domain.points, dtype=dtype), 0.0, 1.0
@@ -294,14 +313,14 @@ def make_gpe_control_env(
 
 def make_butler_volmer_control_env(
     num_envs: int = 1024,
-    grid_size: int = 48,
+    grid_size: int = 64,
     substeps: int = 10,
     end_time: float = 0.2,
     step_dt: float = 5e-3,
     dtype=jnp.float32,
     auto_reset: bool = True,
     kappa: float = 5e-4,
-    method: str = "rk4",
+    method: str = "fused",
 ) -> VectorPDEEnv:
     """Galvanostatic Butler-Volmer charging fleet: the agent drives the C-rate.
 
@@ -320,8 +339,9 @@ def make_butler_volmer_control_env(
 
     if method == "fused":
         # Whole-macro-step Pallas kernel (ops/bv_cas.py): cas-matmul
-        # Laplacians + in-kernel galvanostatic closure.  Grid must divide
-        # 128 for env packing (use grid_size=64).
+        # Laplacians + in-kernel galvanostatic closure.  Grids dividing
+        # 128 pack fully (64 -> 4 envs/tile); other multiples of 8 pack
+        # toward 128 (48 -> 2x2 at 96-deep contractions).
         from ..ops.steppers import FusedButlerVolmer as _solver_type
     elif method == "rk4":
         from ..ops.steppers import RK4 as _solver_type
@@ -363,6 +383,111 @@ def make_butler_volmer_control_env(
             + 3.0 * (1.0 - 2.0 * c),
             "j0": lambda c: jnp.sqrt(jnp.clip(c * (1 - c), 1e-6, None)),
             "alpha": 0.5,
+        },
+        control_equation_parameter_name="Crate",
+        solver_parameters={},
+        num_envs=num_envs,
+        auto_reset=auto_reset,
+        vectorized_control=True,
+    )
+
+
+def make_sbm_butler_volmer_control_env(
+    num_envs: int = 1024,
+    grid_size: int = 64,
+    substeps: int = 10,
+    end_time: float = 0.2,
+    step_dt: float = 5e-3,
+    dtype=jnp.float32,
+    auto_reset: bool = True,
+    kappa: float = 5e-4,
+    particle_radius: float = 0.35,
+    interface_width: float = 0.04,
+    smooth_geometry: bool = False,
+) -> VectorPDEEnv:
+    """Smoothed-boundary galvanostatic charging fleet (irregular particle).
+
+    The reference's flagship physics workload
+    (``/root/reference/pde_opt/numerics/equations/allen_cahn.py:284-383``,
+    vmapped in ``notebooks/run_butler_volmer_sbm.ipynb``): each env is a
+    DISK-shaped electrode particle embedded in the periodic box via the
+    smoothed-boundary level set ψ — the SBM chemical potential uses
+    ψ-weighted fluxes and the galvanostatic closure integrates over ψ, so
+    the charge balance holds on the particle, not the box.  The agent
+    drives the applied C-rate; reward trades ψ-weighted charging progress
+    against ψ-weighted non-uniformity.  One RL step = ``substeps`` RK4
+    substeps (XLA path; ψ-dependent stencils are not circular convolutions,
+    so the cas-matmul fused kernel does not apply).
+
+    ``smooth_geometry=True`` derives ψ by running the Shape smoothing flow
+    on the binary disk mask (the reference pipeline, one-time cost at
+    construction); the default analytic tanh profile is equivalent for a
+    disk and loads instantly (golden-gated in ``tests/test_sbm_bv.py``).
+    """
+    from ..models.allen_cahn import (
+        AllenCahn2DSmoothedBoundaryButlerVolmerConstantCurrent,
+    )
+    from ..ops.steppers import RK4
+
+    domain = gridmod.Domain(
+        (grid_size, grid_size), ((-0.5, 0.5), (-0.5, 0.5)),
+        "dimensionless", dtype=dtype,
+    )
+    X, Y = (jnp.asarray(m, dtype) for m in domain.mesh())
+    r = jnp.sqrt(X**2 + Y**2)
+    if smooth_geometry:
+        from ..geometry import Shape
+
+        shape = Shape(
+            (r < particle_radius).astype(dtype), dx=domain.dx,
+            smooth_epsilon=4.0 * float(domain.dx[0]),
+        )
+        psi = shape.smooth.astype(dtype)
+    else:
+        psi = 0.5 * (1.0 + jnp.tanh((particle_radius - r) / interface_width))
+        psi = jnp.where(psi < 0.001, 0.001, psi)
+        psi = jnp.where(psi > 0.99, 1.0, psi).astype(dtype)
+    psi_sum = jnp.sum(psi)
+    clip = lambda c: jnp.clip(c, 1e-4, 1 - 1e-4)
+
+    def psi_mean(y):
+        return jnp.sum(psi * y, axis=(-2, -1)) / psi_sum
+
+    def psi_var(y):
+        m = psi_mean(y)[..., None, None]
+        return jnp.sum(psi * (y - m) ** 2, axis=(-2, -1)) / psi_sum
+
+    return VectorPDEEnv(
+        equation_type=AllenCahn2DSmoothedBoundaryButlerVolmerConstantCurrent,
+        domain=domain,
+        solver_type=RK4,
+        end_time=end_time,
+        step_dt=step_dt,
+        numeric_dt=step_dt / substeps,
+        # Observe the particle only: psi-masked concentration.
+        state_to_observation_func=lambda y: jnp.clip(
+            y * psi * 255.0, 0, 255
+        ).astype(jnp.uint8)[..., None, :, :],
+        # Charge the PARTICLE fast, keep the PARTICLE uniform.
+        reward_function=lambda y: psi_mean(y) - 10.0 * psi_var(y),
+        reset_func=lambda domain_, key: jnp.clip(
+            0.05 + 0.005 * jax.random.normal(key, domain_.points, dtype=dtype),
+            0.01, 0.99,
+        ),
+        reset_control_value=jnp.asarray(1.0, dtype),
+        update_control_value=lambda off, old: jnp.clip(
+            old + 0.2 * off[..., 0], 0.2, 3.0
+        ),
+        update_control_parameter=lambda old, new: new[..., None, None],
+        action_space_config={"type": "continuous", "shape": (1,)},
+        static_equation_parameters={
+            "kappa": kappa,
+            "f": lambda c: 3.0 * c * (1.0 - c),
+            "mu": lambda c: jnp.log(clip(c) / (1 - clip(c)))
+            + 3.0 * (1.0 - 2.0 * c),
+            "j0": lambda c: jnp.sqrt(jnp.clip(c * (1 - c), 1e-6, None)),
+            "alpha": 0.5,
+            "psi": psi,
         },
         control_equation_parameter_name="Crate",
         solver_parameters={},

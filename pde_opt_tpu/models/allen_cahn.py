@@ -266,7 +266,7 @@ class AllenCahn2DSmoothedBoundaryButlerVolmerConstantCurrent(BaseEquation):
 
     def __init__(self, domain: Domain, kappa, f: Callable, mu: Callable,
                  j0: Callable, alpha: float, Crate: float, derivs: str = "fd",
-                 contact_cols: int = 100):
+                 contact_cols: int = 100, psi=None):
         if derivs != "fd":
             raise ValueError(f"Invalid derivative type: {derivs}")
         self.domain = domain
@@ -278,7 +278,10 @@ class AllenCahn2DSmoothedBoundaryButlerVolmerConstantCurrent(BaseEquation):
         self.Crate = Crate
         self.derivs = derivs
 
-        self.psi = domain.geometry.smooth
+        # psi: inject a precomputed level-set field directly (analytic
+        # profile, checkpointed smooth, ...); defaults to the domain
+        # geometry's smoothed mask.
+        self.psi = domain.geometry.smooth if psi is None else jnp.asarray(psi)
         self.sqrt_kappa = np.sqrt(kappa)
         self.hx, self.hy = domain.dx
         self.norm_grad_psi = (

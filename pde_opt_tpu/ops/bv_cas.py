@@ -43,6 +43,7 @@ from .cas_spectral import (
     _block_diag,
     _cas_mat,
     _fd_lap_symbols,
+    _pack_factors,
     _pack_field,
     _pack_kappa,
     _pick_block,
@@ -107,19 +108,13 @@ def make_bv_cc_fused_macro(
 
     ``u``: (..., H, W) concentration field; ``crate``: per-env applied
     C-rate broadcastable to the batch.  ``alpha`` is fixed at 1/2 (the
-    closed-form closure case, as in the reference).  H, W < 128 must
-    divide 128 (env packing).
+    closed-form closure case, as in the reference).  H, W multiples of 8;
+    grids < 128 env-pack toward a 128-wide tile (divisors of 128 pack
+    fully, e.g. 64 -> 4 envs/tile; 48 packs 2x2 at 96-deep contractions).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if H % 8 or W % 8:
-        raise ValueError(f"H, W must be multiples of 8, got {(H, W)}")
-    ph = 128 // H if H < 128 else 1
-    pw = 128 // W if W < 128 else 1
-    if H < 128 and ph * H != 128:
-        raise ValueError(f"H={H} < 128 must divide 128 for env packing")
-    if W < 128 and pw * W != 128:
-        raise ValueError(f"W={W} < 128 must divide 128 for env packing")
+    ph, pw = _pack_factors(H, W)
     HP, WP = ph * H, pw * W
     pack = ph * pw
 

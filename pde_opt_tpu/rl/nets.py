@@ -87,13 +87,19 @@ def _conv_init(key, out_c, in_c, k):
 
 @module(
     data_fields=("conv_w", "conv_b", "head"),
-    static_fields=("channels", "kernel", "act"),
+    static_fields=("channels", "kernel", "act", "compute_dtype"),
 )
 class ConvTorso:
-    """Stride-2 circular conv stack -> global mean pool -> dense features."""
+    """Stride-2 circular conv stack -> global mean pool -> dense features.
+
+    ``compute_dtype=jnp.bfloat16`` runs the convolutions and feature head in
+    bf16 (params stay f32 for the optimizer; activations cast per layer) —
+    the TPU-native mixed-precision policy for the RL learner hot path.
+    """
 
     def __init__(self, in_channels: int, channels: Sequence[int],
-                 features: int, kernel: int = 3, act=jax.nn.gelu, *, key):
+                 features: int, kernel: int = 3, act=jax.nn.gelu,
+                 compute_dtype=None, *, key):
         keys = jax.random.split(key, len(channels) + 1)
         conv_w, conv_b = [], []
         c_prev = in_channels
@@ -108,16 +114,20 @@ class ConvTorso:
         self.channels = tuple(channels)
         self.kernel = kernel
         self.act = act
+        self.compute_dtype = compute_dtype
 
     def __call__(self, obs):
         """obs: (..., C, H, W) uint8 or float -> (..., features)."""
         x = obs.astype(jnp.float32)
         if obs.dtype == jnp.uint8:
             x = x / 255.0
+        cd = self.compute_dtype or jnp.float32
         for w, b in zip(self.conv_w, self.conv_b):
-            x = self.act(conv2d_circular_strided(x, w, b, stride=2))
+            x = self.act(conv2d_circular_strided(
+                x, w.astype(cd), b.astype(cd), stride=2))
         x = jnp.mean(x, axis=(-2, -1))          # global average pool
-        return self.act(self.head(x))
+        feat = self.act(x @ self.head.w.T.astype(cd) + self.head.b.astype(cd))
+        return feat.astype(jnp.float32)
 
 
 @module(
@@ -134,9 +144,10 @@ class ActorCriticConv:
 
     def __init__(self, action_dim: int, *, in_channels: int = 1,
                  channels: Sequence[int] = (16, 32), features: int = 64,
-                 discrete: bool = False, key):
+                 discrete: bool = False, compute_dtype=None, key):
         k1, k2, k3 = jax.random.split(key, 3)
-        self.torso = ConvTorso(in_channels, channels, features, key=k1)
+        self.torso = ConvTorso(in_channels, channels, features,
+                               compute_dtype=compute_dtype, key=k1)
         self.pi_head = Linear(features, action_dim, key=k2)
         self.v_head = Linear(features, 1, key=k3)
         self.log_std = (jnp.zeros(()) if discrete

@@ -318,6 +318,95 @@ def gen_bv_constant_current():
           f"mean fill {u.mean():.4f}")
 
 
+def gen_sbm_bv_constant_current():
+    """Smoothed-boundary galvanostatic Butler-Volmer + psi-weighted voltage.
+
+    Reference semantics, transcribed
+    (/root/reference/pde_opt/numerics/equations/allen_cahn.py:284-383):
+    SBM chemical potential mu(c) - (kappa/psi) * div(psi_avg * grad c) on
+    center->face/face->center stencils (grad_c2f: (roll(-1)-u)/h, avg_c2f:
+    midpoint, div_f2c: (F-roll(+1))/h), psi-WEIGHTED global integrals in the
+    closed-form constant-current closure, v = 2*log(y), contact-angle term
+    disabled (commented out in the reference rhs, :334-338).  Advanced by
+    classical RK4.  psi is an ANALYTIC tanh disk (deterministic; independent
+    of any smoothing-flow implementation), clamped to [0.001, 1] like
+    reference shapes.py:35-37.
+    """
+    N = 48
+    dx = 1.0 / N
+    kappa = 5e-4
+    alpha = 0.5
+    Crate = 1.0
+    dt = 5e-4
+    n_steps = 60
+    save_every = 20
+
+    x = (np.arange(N) + 0.5) * dx - 0.5
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    r = np.sqrt(X**2 + Y**2)
+    psi = 0.5 * (1.0 + np.tanh((0.35 - r) / 0.04))
+    psi = np.where(psi < 0.001, 0.001, psi)
+    psi = np.where(psi > 0.99, 1.0, psi)
+    psi_avgx = 0.5 * (psi + np.roll(psi, -1, 0))
+    psi_avgy = 0.5 * (psi + np.roll(psi, -1, 1))
+
+    def clip(c):
+        return np.clip(c, 1e-4, 1 - 1e-4)
+
+    def mu_fn(c):
+        return np.log(clip(c) / (1 - clip(c))) + 3.0 * (1.0 - 2.0 * c)
+
+    def j0(c):
+        return np.sqrt(np.clip(c * (1 - c), 1e-6, None))
+
+    cell = dx * dx
+
+    def mu_and_v(u):
+        gx = (np.roll(u, -1, 0) - u) / dx
+        gy = (np.roll(u, -1, 1) - u) / dx
+        fx = psi_avgx * gx
+        fy = psi_avgy * gy
+        div = (fx - np.roll(fx, 1, 0)) / dx + (fy - np.roll(fy, 1, 1)) / dx
+        m = mu_fn(u) - (kappa / psi) * div
+        j = j0(u)
+        int_plus = np.sum(j * np.exp(0.5 * m) * psi) * cell
+        int_minus = np.sum(j * np.exp(-0.5 * m) * psi) * cell
+        y = (-Crate + np.sqrt(Crate**2 + 4.0 * int_plus * int_minus)) / (
+            2.0 * int_plus)
+        return m, 2.0 * np.log(y), j
+
+    def rhs(u, t):
+        m, v, j = mu_and_v(u)
+        eta = m + v
+        return j * (np.exp(-alpha * eta) - np.exp((1.0 - alpha) * eta))
+
+    rng = np.random.default_rng(5151)
+    u0 = np.clip(0.05 + 0.005 * rng.standard_normal((N, N)), 0.01, 0.99)
+
+    traj, volts = [u0.copy()], [mu_and_v(u0)[1]]
+    u = u0.copy()
+    for k in range(1, n_steps + 1):
+        t = (k - 1) * dt
+        k1 = rhs(u, t)
+        k2 = rhs(u + 0.5 * dt * k1, t + 0.5 * dt)
+        k3 = rhs(u + 0.5 * dt * k2, t + 0.5 * dt)
+        k4 = rhs(u + dt * k3, t + dt)
+        u = u + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        if k % save_every == 0:
+            traj.append(u.copy())
+            volts.append(mu_and_v(u)[1])
+
+    np.savez_compressed(
+        os.path.join(OUT, "sbm_bv_cc_rk4.npz"),
+        u0=u0, psi=psi, traj=np.stack(traj), volts=np.asarray(volts),
+        kappa=kappa, alpha=alpha, Crate=Crate, dt=dt,
+        n_steps=n_steps, save_every=save_every, dx=dx, N=N,
+    )
+    print(f"sbm_bv_cc_rk4: traj {np.stack(traj).shape}, "
+          f"voltage {volts[0]:+.4f} -> {volts[-1]:+.4f}, "
+          f"psi-weighted fill {np.sum(psi*u)/np.sum(psi):.4f}")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     gen_ch2d("fourier", "ch2d_sif_fourier.npz")
@@ -325,3 +414,4 @@ if __name__ == "__main__":
     gen_strang_imag()
     gen_ac2d_tsit5()
     gen_bv_constant_current()
+    gen_sbm_bv_constant_current()

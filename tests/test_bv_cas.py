@@ -74,3 +74,41 @@ def test_fused_bv_stepper_rejects_non_half_alpha():
     with pytest.raises(ValueError, match="alpha"):
         FusedButlerVolmer(kappa=5e-4, mu=MU, j0=J0, alpha=0.3,
                           Crate=1.0, domain=domain)
+
+
+def test_bv_cas_macro_non_divisor_grid_packs():
+    """48² (the reference BV notebooks' grid): 48 does not divide 128, so
+    it packs 2x2 envs at 96-deep contractions — previously a hard error.
+    Must still match the roll-stencil oracle exactly."""
+    B, N = 5, 48
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(np.clip(0.1 + 0.01 * rng.standard_normal((B, N, N)),
+                            0.01, 0.99), jnp.float32)
+    crate = jnp.linspace(0.5, 2.0, B)
+    h = 1.0 / N
+    kappa, dt, n = 5e-4, 5e-4, 2
+    macro = make_bv_cc_fused_macro(MU, J0, kappa, N, N, h, h, dt, n,
+                                   mats_dtype=jnp.float32, interpret=True)
+    ref = bv_cc_reference(MU, J0, kappa, h, h, dt, n)
+    np.testing.assert_allclose(np.asarray(macro(u, crate)),
+                               np.asarray(ref(u, crate)),
+                               rtol=0, atol=2e-5)
+
+
+def test_ch_cas_macro_non_divisor_grid_packs():
+    """Same relaxation for the CH cas kernel (24 packs 5x5 -> 120-deep)."""
+    from pde_opt_tpu.ops.cas_spectral import make_ch_cas_fused_macro
+    from pde_opt_tpu.ops.fused_spectral import ch_sif_macro_reference
+
+    B, N = 7, 24
+    mu = lambda c: c**3 - c
+    u = 0.5 + 0.05 * jax.random.normal(jax.random.PRNGKey(4), (B, N, N),
+                                       jnp.float32)
+    kappa = jnp.linspace(0.002, 0.01, B)
+    h = 0.01
+    macro = make_ch_cas_fused_macro(mu, N, N, h, h, 1.0, 1e-4, 3,
+                                    mats_dtype=jnp.float32, interpret=True)
+    ref = ch_sif_macro_reference(mu, h, h, 1.0, 1e-4, 3)
+    np.testing.assert_allclose(np.asarray(macro(u, kappa)),
+                               np.asarray(ref(u, kappa)),
+                               rtol=0, atol=5e-5)

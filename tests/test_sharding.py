@@ -97,6 +97,80 @@ def test_sharded_rollout_runs():
     assert bool(jnp.isfinite(rewards).all())
 
 
+def _fused_flagship_env(num_envs):
+    """The SAME configuration bench.py measures: vectorized_control fused
+    cas-kernel CH fleet (grid 16 here for CPU speed; interpret-mode Pallas)."""
+    from pde_opt_tpu.envs.presets import make_cahn_hilliard_control_env
+
+    return make_cahn_hilliard_control_env(
+        num_envs=num_envs, grid_size=16, substeps=4,
+        spectral_solve="fused", vectorized_control=True,
+    )
+
+
+def test_sharded_fused_flagship_matches_single_device():
+    """The fused Pallas cas macro under shard_map must produce exactly the
+    per-env results of the single-device fused fleet — the multi-device
+    witness for the code path the flagship bench measures (VERDICT r2 §1)."""
+    n_dev = len(jax.devices())
+    num_envs = 2 * n_dev
+    env = _fused_flagship_env(num_envs)
+    mesh = make_mesh()
+    senv = ShardedVectorPDEEnv(env, mesh)
+
+    key = jax.random.PRNGKey(7)
+    state_l, obs_l = env.reset(key)
+    state_s, obs_s = senv.reset(key)
+    np.testing.assert_array_equal(np.asarray(obs_l), np.asarray(obs_s))
+
+    acts = jnp.linspace(-1.0, 1.0, num_envs)[:, None]
+    for _ in range(3):
+        state_l, obs_l, rl, *_ = env.step(state_l, acts)
+        state_s, obs_s, rs, *_ = senv.step(state_s, acts)
+    np.testing.assert_array_equal(np.asarray(state_l.y),
+                                  np.asarray(state_s.y))
+    np.testing.assert_array_equal(np.asarray(rl), np.asarray(rs))
+    assert len(state_s.y.sharding.device_set) == n_dev
+
+
+def test_sharded_fused_flagship_rollout_and_grad():
+    """Pathwise gradient THROUGH the sharded fused kernel (its custom VJP
+    under shard_map): finite, nonzero, and equal to the single-device grad."""
+    n_dev = len(jax.devices())
+    num_envs = 2 * n_dev
+    env = _fused_flagship_env(num_envs)
+    mesh = make_mesh()
+    from jax.sharding import PartitionSpec as P
+    from pde_opt_tpu.parallel.mesh import shard_map
+
+    state, _ = env.reset(jax.random.PRNGKey(8))
+
+    def loss_local(y, cv, acts):
+        y1, _ = env._advance_batched(y, cv, acts)
+        return jnp.mean(jnp.var(y1, axis=(-2, -1)))
+
+    def loss_shard(y, cv, acts):
+        y1, _ = env._advance_batched(y, cv, acts)
+        return jax.lax.psum(jnp.sum(jnp.var(y1, axis=(-2, -1))), "env")
+
+    acts = jnp.linspace(-1.0, 1.0, num_envs)[:, None]
+    g_local = jax.grad(loss_local, argnums=2)(state.y, state.control_value,
+                                              acts)
+    sharded = jax.jit(
+        shard_map(
+            lambda y, cv, a: jax.grad(
+                lambda aa: loss_shard(y, cv, aa) / num_envs)(a),
+            mesh=mesh, in_specs=(P("env"), P("env"), P("env")),
+            out_specs=P("env"), check_vma=False,
+        )
+    )
+    g_sharded = sharded(state.y, state.control_value, acts)
+    assert bool(jnp.isfinite(g_sharded).all())
+    assert float(jnp.max(jnp.abs(g_sharded))) > 0.0
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_local),
+                               rtol=1e-5, atol=1e-8)
+
+
 def test_learner_psum_gradients():
     """Co-located learner pattern: per-shard data, replicated params.
 
