@@ -214,6 +214,44 @@ def bench_gpe64(platform):
     return out
 
 
+def bench_gpe_rot(platform):
+    """Rotating-frame GPE via DirectionalSplitting: batched imaginary-time
+    field-substeps/s at 64², plus a vortex census of the rotating ground
+    state (the capability the reference defines but ships no solver for)."""
+    if platform == "cpu":
+        return None
+    from pde_opt_tpu.grid import Domain
+    from pde_opt_tpu.models.gross_pitaevskii import GPE2DTSRot
+    from pde_opt_tpu.ops.integrate import evolve
+    from pde_opt_tpu.ops.steppers import DirectionalSplitting
+    from pde_opt_tpu.utils import density, detect_vortices, initialize_Psi
+
+    B, N, L, dt, n_sub = 512, GRID, 20.0, 2e-4, 50
+    domain = Domain((N, N), ((-L / 2, L / 2), (-L / 2, L / 2)))
+    eq = GPE2DTSRot(domain, 500.0, 0.0, 0.9)
+    stepper = DirectionalSplitting(eq.A_terms, eq.B_terms, domain.dx[0],
+                                   time_scale=-1j)
+    psi0 = initialize_Psi(N, width=14, vortexnumber=1)
+    psi0 = psi0 / jnp.sqrt(jnp.sum(density(psi0)) * domain.dx[0] ** 2)
+    batch = jnp.broadcast_to(psi0, (B, N, N))
+
+    run = jax.jit(lambda y: evolve(stepper, lambda s, t: s, y, 0.0, dt, n_sub))
+    y = run(batch)
+    _ = float(jnp.sum(jnp.abs(y)))
+    t0 = time.perf_counter()
+    runs = 10
+    for _i in range(runs):
+        y = run(y)
+    _ = float(jnp.sum(jnp.abs(y)))
+    dtime = time.perf_counter() - t0
+    if not bool(jnp.isfinite(y.real).all()):
+        return None
+    psi = jax.device_get(y[0])
+    census = detect_vortices(psi, amp_thresh=0.05 * float(abs(psi).max()))
+    return {"field_substeps_per_s": round(B * n_sub * runs / dtime, 1),
+            "num_vortices": int(census["num_vortices"])}
+
+
 def bench_ch3d(platform):
     """Batched 32³ rollouts: XLA-rfft SIF vs the cas-matmul 3D macro."""
     if platform == "cpu":
@@ -449,6 +487,9 @@ def main():
                 f"{k}_env_steps_per_s": round(v, 1)
                 for k, v in r.items() if v
             }
+        r = bench_gpe_rot(platform)
+        if r:
+            configs["gpe_rot_64x64_512batch"] = r
         r = bench_ch3d(platform)
         if r:
             configs["ch3d_32cubed_256batch_substeps"] = {

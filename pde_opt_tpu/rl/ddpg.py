@@ -156,7 +156,9 @@ def ddpg_train(env, actor, critic, config: DDPGConfig, num_updates: int,
         agent, replay, env_state, key, metrics = train_step(
             agent, replay, env_state, jnp.asarray(step), key
         )
-        metrics = {k: float(v) for k, v in metrics.items()}
+        # ONE device->host transfer for the whole dict (per-key float()
+        # would pay one relay round-trip per metric).
+        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
         history.append(metrics)
         if log_fn is not None:
             log_fn(step, metrics)

@@ -167,7 +167,9 @@ def dqn_train(env, qnet, config: DQNConfig, num_updates: int, key=None,
             qnet, target, opt_state, replay, env_state,
             jnp.asarray(step), key,
         )
-        metrics = {k: float(v) for k, v in metrics.items()}
+        # ONE device->host transfer for the whole dict (per-key float()
+        # would pay one relay round-trip per metric).
+        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
         history.append(metrics)
         if log_fn is not None:
             log_fn(step, metrics)

@@ -272,11 +272,15 @@ def ppo_train(env, params, config: PPOConfig, num_updates: int,
         params, opt_state, env_state, key, metrics = train_step(
             params, opt_state, env_state, key
         )
-        # The float() conversions force a device sync; fetch only every
+        # Metrics cross the host boundary as ONE transfer.  Per-key
+        # ``float(v)`` would pay one device->host round-trip per metric —
+        # on a relayed TPU (~20ms RTT) seven scalar fetches cost more than
+        # the entire rollout+update compute.  Fetch only every
         # ``metrics_every`` updates (and the last) so back-to-back train
         # steps stay enqueued on device.
         if (update + 1) % metrics_every == 0 or update == num_updates - 1:
-            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics = {k: float(v) for k, v in
+                       jax.device_get(metrics).items()}
             history.append(metrics)
             if log_fn is not None:
                 log_fn(update, metrics)

@@ -32,6 +32,11 @@ class MetricLogger:
 
     def log(self, step: int, **metrics: Any) -> None:
         rec = {"step": int(step), "time": time.time()}
+        # Pull any device arrays across in ONE transfer — per-value float()
+        # costs one device->host round-trip each on a relayed TPU.
+        if any(hasattr(v, "device") or hasattr(v, "devices")
+               for v in metrics.values()):
+            metrics = jax.device_get(metrics)
         for k, v in metrics.items():
             v = float(v)
             rec[k] = v

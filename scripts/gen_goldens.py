@@ -407,6 +407,85 @@ def gen_sbm_bv_constant_current():
           f"psi-weighted fill {np.sum(psi*u)/np.sum(psi):.4f}")
 
 
+# ---------------------------------------------------------------------------
+# Rotating-frame GPE, 64x64, directional (ADI) split-step, imaginary time
+# ---------------------------------------------------------------------------
+
+def gen_gpe_rot():
+    """Rotating-frame GPE ground-state search via directional splitting.
+
+    The per-direction symbols are transcribed from the reference's
+    ``GPE2DTSRot.A_terms``/``B_terms``
+    (/root/reference/pde_opt/numerics/equations/gross_pitaevskii.py:122-131):
+
+        A_x = 0.5j*(2j*pi*kx)^2 - omega * y * (2j*pi*kx)
+        A_y = 0.5j*(2j*pi*ky)^2 + omega * x * (2j*pi*ky)
+        B   = -0.5j*((1+e)x^2 + (1-e)y^2) - 1j*k*|psi|^2
+
+    The reference ships no solver able to integrate these mixed-basis
+    per-direction terms; this fixture pins the framework's
+    ``DirectionalSplitting`` scheme (Strang-symmetric x/y sweeps, B at the
+    post-sweep state, mid-step L2 renormalization in imaginary time —
+    ``pde_opt_tpu/ops/steppers.py:DirectionalSplitting.step``).
+    """
+    N = 64
+    L = 20.0
+    dx = L / N
+    dt = 2e-4
+    n_steps = 45
+    save_every = 15
+    kint = 500.0      # interaction strength
+    e = 0.0
+    omega = 0.4
+
+    x = np.linspace(-L / 2 + dx / 2, L / 2 - dx / 2, N)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    kx, ky = np.meshgrid(np.fft.fftfreq(N, dx), np.fft.fftfreq(N, dx),
+                         indexing="ij")
+    tpikx = 2j * np.pi * kx
+    tpiky = 2j * np.pi * ky
+    Ax = 0.5j * tpikx**2 - omega * Y * tpikx
+    Ay = 0.5j * tpiky**2 + omega * X * tpiky
+
+    rng = np.random.default_rng(4242)
+    psi0 = np.exp(-(X**2 + Y**2) / 2.0 / 7.0**2) * (
+        1.0 + 0.05 * rng.standard_normal((N, N))
+        + 0.05j * rng.standard_normal((N, N))
+    )
+    psi0 = psi0 / np.sqrt(np.sum(np.abs(psi0) ** 2) * dx**2)
+    psi0 = psi0.astype(np.complex128)
+
+    dtc = dt * (-1j)                               # imaginary time
+    expAx = np.exp(0.5 * dtc * Ax)
+    expAy = np.exp(0.5 * dtc * Ay)
+
+    def sweep_x(p):
+        return np.fft.ifft(expAx * np.fft.fft(p, axis=0), axis=0)
+
+    def sweep_y(p):
+        return np.fft.ifft(expAy * np.fft.fft(p, axis=1), axis=1)
+
+    traj = [psi0.copy()]
+    psi = psi0.copy()
+    for step in range(1, n_steps + 1):
+        psi = sweep_y(sweep_x(psi))
+        b = -0.5j * ((1 + e) * X**2 + (1 - e) * Y**2) \
+            - 1j * kint * np.abs(psi) ** 2
+        psi = psi * np.exp(b * dtc)
+        psi = psi / np.sqrt(np.sum(np.abs(psi) ** 2) * dx**2)
+        psi = sweep_x(sweep_y(psi))
+        if step % save_every == 0:
+            traj.append(psi.copy())
+
+    np.savez_compressed(
+        os.path.join(OUT, "gpe_rot_dirsplit.npz"),
+        psi0=psi0, traj=np.stack(traj), k=kint, e=e, omega=omega,
+        dx=dx, dt=dt, n_steps=n_steps, save_every=save_every, N=N, L=L,
+    )
+    print(f"gpe_rot_dirsplit: traj {np.stack(traj).shape}, "
+          f"norm {np.sum(np.abs(psi)**2) * dx**2:.6f}")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     gen_ch2d("fourier", "ch2d_sif_fourier.npz")
@@ -415,3 +494,4 @@ if __name__ == "__main__":
     gen_ac2d_tsit5()
     gen_bv_constant_current()
     gen_sbm_bv_constant_current()
+    gen_gpe_rot()

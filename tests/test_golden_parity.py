@@ -164,3 +164,28 @@ def test_bv_constant_current_trajectory_and_voltage_match_golden():
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(got_volts), z["volts"],
                                rtol=0, atol=1e-12)
+
+
+def test_gpe_rot_directional_split_trajectory_matches_golden():
+    """Rotating-frame GPE (reference gross_pitaevskii.py:84-131 A/B terms)
+    integrated by DirectionalSplitting in imaginary time vs the numpy
+    golden, at every save point."""
+    from pde_opt_tpu.models.gross_pitaevskii import GPE2DTSRot
+    from pde_opt_tpu.ops.steppers import DirectionalSplitting
+
+    z = np.load(os.path.join(GOLDENS, "gpe_rot_dirsplit.npz"))
+    N, L = int(z["N"]), float(z["L"])
+    dt = float(z["dt"])
+    n_steps, save_every = int(z["n_steps"]), int(z["save_every"])
+
+    domain = Domain((N, N), ((-L / 2, L / 2), (-L / 2, L / 2)),
+                    "dimensionless", dtype=jnp.float64)
+    eq = GPE2DTSRot(domain, float(z["k"]), float(z["e"]), float(z["omega"]))
+    stepper = DirectionalSplitting(eq.A_terms, eq.B_terms, domain.dx[0],
+                                   time_scale=-1j)
+    psi = jnp.asarray(z["psi0"], jnp.complex128)
+    got = [np.asarray(psi)]
+    for _ in range(n_steps // save_every):
+        psi = evolve(stepper, lambda y, t: y, psi, 0.0, dt, save_every)
+        got.append(np.asarray(psi))
+    np.testing.assert_allclose(np.stack(got), z["traj"], rtol=0, atol=1e-10)
