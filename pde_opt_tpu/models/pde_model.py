@@ -237,11 +237,14 @@ class PDEModel:
         of ``inds[0]``.
 
         ``method``: ``"least_squares"`` (Levenberg-Marquardt, forward-mode —
-        small parameter vectors; host outer loop with verbose logging),
-        ``"least_squares_jit"`` (same LM fully inside one jitted
-        ``lax.while_loop`` — no per-iteration host sync, for TPU-resident
-        fits), ``"mse"`` (L-BFGS, checkpointed reverse-mode — NN-sized
-        parameters), or ``"adam"`` (first-order, robust for long rollouts).
+        small parameter vectors; runs TPU-resident inside one jitted
+        ``lax.while_loop`` unless ``verbose=True``, which switches to the
+        host outer loop for per-iteration logging — on a ~1 ms-dispatch
+        relay the host loop pays a sync every LM iteration),
+        ``"least_squares_jit"`` (force the jitted loop regardless of
+        ``verbose``), ``"mse"`` (L-BFGS, checkpointed reverse-mode —
+        NN-sized parameters), or ``"adam"`` (first-order, robust for long
+        rollouts).
         """
         y0s = jnp.array([data["ys"][ind[0]] for ind in inds])
         values = jnp.array(
@@ -279,7 +282,7 @@ class PDEModel:
 
             # Data enters as jit *arguments* (not closures) so trajectory
             # arrays are never baked into the executable as constants.
-            if method == "least_squares_jit":
+            if method == "least_squares_jit" or not verbose:
                 sol = least_squares_lm_jitted(
                     residuals_flat, flat0, args=(y0s, values),
                     max_steps=max_steps, rtol=1e-8, atol=1e-8,
