@@ -1,0 +1,190 @@
+"""Independent analytic oracles for the golden-gated families.
+
+The golden fixtures (``tests/goldens``) are numpy transcriptions of the
+reference update formulas — a shared-author transcription error (e.g. a
+flipped sign copied into both generator and stepper) would pass the 1e-12
+parity gate.  These tests close that hole with oracles *derived from the
+continuum equations*, not transcribed from any implementation:
+
+* **Butler-Volmer linear response.**  Around a uniform base state ``c0`` at
+  ``Crate = 0`` the galvanostatic BV Allen-Cahn (reference
+  ``allen_cahn.py:213-281``) has an exactly stationary point (``eta = 0``
+  everywhere), and a zero-mean Fourier perturbation ``eps*sin(k.x)`` evolves
+  with the closed-form rate
+
+      d(delta)/dt = -j0(c0) * (mu'(c0) + kappa * k2_disc) * delta,
+
+  where ``k2_disc = (4/h^2) sin^2(pi m / N)`` is the roll-stencil Laplacian
+  symbol.  (The voltage response vanishes to first order because the
+  constraint integrals only see the spatial mean.)  Any sign or coefficient
+  error in mu-coupling, ``kappa``, ``j0``, or the BV exponentials breaks
+  this rate.
+
+* **SBM == periodic at psi == 1.**  With a uniform level set the
+  smoothed-boundary galvanostatic equation (reference
+  ``allen_cahn.py:284-383``) must reduce to the periodic one: the psi-
+  weighted flux divergence collapses to the plain Laplacian and the
+  psi-weighted constraint integrals to the plain ones.  Two independent
+  code paths, one equation.
+
+* **Rotating-GPE spectral splitting.**  For ``g = 0``, symmetric trap
+  (``e = 0``, omega_trap = 1), the rotating-frame Hamiltonian
+  ``H = -nabla^2/2 + r^2/2 - Omega*L_z`` has exact eigenmodes
+  ``(x ± i y) exp(-r^2/2)`` with ``L_z = ±1`` and energies ``2 ∓ Omega``.
+  Un-normalized imaginary time must decay their L2 norm at exactly that
+  rate, so the measured splitting ``E(m=-1) - E(m=+1) = 2*Omega`` pins the
+  rotation term's sign and magnitude (reference
+  ``gross_pitaevskii.py:84-131``) independently of the golden fixture.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_opt_tpu.grid import Domain
+from pde_opt_tpu.models.allen_cahn import (
+    AllenCahn2DPeriodicButlerVolmerConstantCurrent,
+    AllenCahn2DSmoothedBoundaryButlerVolmerConstantCurrent,
+)
+from pde_opt_tpu.models.gross_pitaevskii import GPE2DTSRot
+from pde_opt_tpu.ops.bv_cas import bv_cc_reference
+from pde_opt_tpu.ops.steppers import DirectionalSplitting
+
+# Same coefficient functions the BV fused-kernel tests use.
+CLIP = lambda c: jnp.clip(c, 1e-4, 1 - 1e-4)  # noqa: E731
+MU = lambda c: jnp.log(CLIP(c) / (1 - CLIP(c))) + 3.0 * (1.0 - 2.0 * c)  # noqa: E731
+J0 = lambda c: jnp.sqrt(jnp.clip(c * (1 - c), 1e-6, None))  # noqa: E731
+
+
+def _mu_prime(c):
+    return 1.0 / (c * (1.0 - c)) - 6.0
+
+
+def _bv_setup(N=32, kappa=5e-4):
+    L = 1.0
+    h = L / N
+    domain = Domain((N, N), ((0.0, L), (0.0, L)), "dimensionless",
+                    dtype=jnp.float64)
+    return domain, L, h
+
+
+def _sine_mode(domain, m, axis):
+    """Zero-mean single Fourier mode along one axis, constant along the other."""
+    x, y = domain.mesh()
+    L = 1.0
+    coord = x if axis == 0 else y
+    return jnp.sin(2.0 * np.pi * m * coord / L)
+
+
+def _lap_symbol(m, N, h):
+    return (4.0 / h**2) * np.sin(np.pi * m / N) ** 2
+
+
+@pytest.mark.parametrize("c0,m,axis", [(0.1, 1, 0), (0.1, 5, 1), (0.3, 3, 0)])
+def test_bv_cc_rhs_linear_response_matches_analytic(c0, m, axis):
+    """rhs linearization around the Crate=0 stationary state: central
+    difference of ``rhs`` along a sine mode must equal the closed-form rate
+    (c0=0.3 sits inside the spinodal: mu'(c0) < 0, a *growing* long-wave
+    mode — the sign of the rate is part of the check)."""
+    N = 32
+    kappa = 5e-4
+    domain, L, h = _bv_setup(N, kappa)
+    eq = AllenCahn2DPeriodicButlerVolmerConstantCurrent(
+        domain, kappa, MU, J0, alpha=0.5, Crate=0.0)
+
+    s = _sine_mode(domain, m, axis)
+    base = jnp.full((N, N), c0, jnp.float64)
+
+    # Stationarity of the base state (eta == 0 exactly at Crate=0).
+    np.testing.assert_allclose(np.asarray(eq.rhs_fd(base, 0.0)), 0.0,
+                               atol=1e-12)
+
+    eps = 1e-5
+    dplus = eq.rhs_fd(base + eps * s, 0.0)
+    dminus = eq.rhs_fd(base - eps * s, 0.0)
+    measured = np.asarray((dplus - dminus) / (2.0 * eps))
+
+    lam = float(J0(jnp.float64(c0))) * (_mu_prime(c0)
+                                        + kappa * _lap_symbol(m, N, h))
+    np.testing.assert_allclose(measured, -lam * np.asarray(s),
+                               rtol=0, atol=3e-6 * max(1.0, abs(lam)))
+
+
+def test_bv_cc_rk4_oracle_amplification_matches_analytic():
+    """The RK4 macro's per-mode amplification over n steps must equal the
+    RK4 stability polynomial of the analytic rate: r(-lam*dt)^n.  The fused
+    Pallas macro is pinned to this oracle at 2e-5 by test_bv_cas, so the
+    analytic anchor transfers to the kernel."""
+    N, m = 32, 2
+    kappa, dt, n = 5e-4, 2e-3, 25
+    c0 = 0.1
+    domain, L, h = _bv_setup(N, kappa)
+    macro = bv_cc_reference(MU, J0, kappa, h, h, dt, n)
+
+    s = _sine_mode(domain, m, axis=0)
+    eps = 1e-5
+    u0 = jnp.full((N, N), c0, jnp.float64) + eps * s
+    u1 = macro(u0, 0.0)
+
+    proj = lambda u: float(jnp.sum((u - u.mean()) * s) * 2.0 / (N * N))  # noqa: E731
+    gain = proj(u1) / proj(u0)
+
+    lam = float(J0(jnp.float64(c0))) * (_mu_prime(c0)
+                                        + kappa * _lap_symbol(m, N, h))
+    z = -lam * dt
+    r = 1.0 + z + z**2 / 2 + z**3 / 6 + z**4 / 24
+    np.testing.assert_allclose(gain, r**n, rtol=5e-6)
+
+
+def test_sbm_bv_psi_one_reduces_to_periodic():
+    """psi == 1 collapses the SBM flux form to the periodic Laplacian and
+    the psi-weighted constraint to the plain one — rhs and voltage from the
+    two independent code paths must agree to rounding."""
+    N = 24
+    kappa = 2e-3
+    domain, L, h = _bv_setup(N, kappa)
+    crate = 0.7
+    periodic = AllenCahn2DPeriodicButlerVolmerConstantCurrent(
+        domain, kappa, MU, J0, alpha=0.5, Crate=crate)
+    sbm = AllenCahn2DSmoothedBoundaryButlerVolmerConstantCurrent(
+        domain, kappa, f=lambda c: 0.0, mu=MU, j0=J0, alpha=0.5,
+        Crate=crate, psi=jnp.ones((N, N), jnp.float64))
+
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(np.clip(0.3 + 0.05 * rng.standard_normal((N, N)),
+                            0.05, 0.95), jnp.float64)
+    np.testing.assert_allclose(np.asarray(sbm.rhs_fd(u, 0.0)),
+                               np.asarray(periodic.rhs_fd(u, 0.0)),
+                               rtol=0, atol=1e-11)
+    np.testing.assert_allclose(float(sbm.get_voltage(u)),
+                               float(periodic.get_voltage(u)),
+                               rtol=0, atol=1e-12)
+
+
+def _gpe_eigenmode_energy(omega, m_charge, dt=2e-3, n_steps=30):
+    N, half = 64, 6.0
+    domain = Domain((N, N), ((-half, half), (-half, half)), "dimensionless",
+                    dtype=jnp.float64)
+    eq = GPE2DTSRot(domain, k=0.0, e=0.0, omega=omega)
+    stepper = DirectionalSplitting(eq.A_terms, eq.B_terms,
+                                   dx=float(domain.dx[0]),
+                                   time_scale=-1j, normalize=False)
+    x, y = domain.mesh()
+    psi = ((x + 1j * m_charge * y)
+           * jnp.exp(-0.5 * (x**2 + y**2))).astype(jnp.complex128)
+
+    cell = float(domain.dx[0]) * float(domain.dx[1])
+    norm2 = lambda p: float(jnp.sum(jnp.abs(p) ** 2) * cell)  # noqa: E731
+    n0 = norm2(psi)
+    for i in range(n_steps):
+        psi, _ = stepper.step(None, psi, i * dt, dt)
+    return -np.log(norm2(psi) / n0) / (2.0 * dt * n_steps)
+
+
+@pytest.mark.parametrize("omega", [0.0, 0.4])
+def test_rotating_gpe_eigenmode_energies_split_by_omega(omega):
+    e_plus = _gpe_eigenmode_energy(omega, +1)
+    e_minus = _gpe_eigenmode_energy(omega, -1)
+    np.testing.assert_allclose(e_plus, 2.0 - omega, rtol=2e-3)
+    np.testing.assert_allclose(e_minus, 2.0 + omega, rtol=2e-3)
+    np.testing.assert_allclose(e_minus - e_plus, 2.0 * omega, atol=2e-3)
