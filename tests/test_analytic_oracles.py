@@ -161,6 +161,94 @@ def test_sbm_bv_psi_one_reduces_to_periodic():
                                rtol=0, atol=1e-12)
 
 
+@pytest.mark.parametrize("derivs,c0,mode", [
+    ("fourier", 0.4, (5, 0)),   # spinodal: low-k growth, sign is checked
+    ("fourier", 0.8, (3, 7)),
+    ("fd", 0.4, (5, 0)),
+    ("fd", 0.8, (3, 7)),
+])
+def test_ch_sif_mode_amplification_matches_closed_form(derivs, c0, mode):
+    """One SIF step on a plane-wave perturbation of a uniform state must
+    amplify it by the closed-form semi-implicit gain
+
+        g = 1 + dt * D(c0) * L * (mu'(c0) - kappa*L) / (1 + A*dt*kappa*K2^2)
+
+    with L the (spectral or roll-stencil) Laplacian symbol of the mode and
+    K2 the continuum symbol in the stabilization denominator (reference
+    update ``solvers.py:56-70``, flagship CH family).  dt is chosen so the
+    denominator deviates from 1 by ~50%, pinning the stabilization term's
+    sign and magnitude, not just the explicit rhs."""
+    from pde_opt_tpu.models.cahn_hilliard import CahnHilliard2DPeriodic
+    from pde_opt_tpu.ops.steppers import SemiImplicitFourierSpectral
+
+    N, kappa, A, dt = 64, 5e-4, 1.0, 1e-3
+    L = 1.0
+    h = L / N
+    m, n = mode
+    domain = Domain((N, N), ((0.0, L), (0.0, L)), "dimensionless",
+                    dtype=jnp.float64)
+    mu = lambda c: c**3 - c                     # noqa: E731
+    D = lambda c: 1.0 + 0.1 * c**2              # noqa: E731
+    eq = CahnHilliard2DPeriodic(domain, kappa, mu, D, derivs=derivs)
+    stepper = SemiImplicitFourierSpectral(A, eq.fourier_symbol, eq.fft,
+                                          eq.ifft)
+
+    x, y = domain.mesh()
+    s = jnp.sin(2.0 * np.pi * (m * x + n * y) / L)
+    eps = 1e-5
+    base = jnp.full((N, N), c0, jnp.float64)
+    y1p, _ = stepper.step(eq.rhs, base + eps * s, 0.0, dt)
+    y1m, _ = stepper.step(eq.rhs, base - eps * s, 0.0, dt)
+    measured = np.asarray((y1p - y1m) / (2.0 * eps))
+
+    K2 = (2.0 * np.pi / L) ** 2 * (m**2 + n**2)
+    if derivs == "fourier":
+        lap_sym = -K2
+    else:
+        lap_sym = -(_lap_symbol(m, N, h) + _lap_symbol(n, N, h))
+    mu_p = 3.0 * c0**2 - 1.0
+    D0 = 1.0 + 0.1 * c0**2
+    lam = D0 * lap_sym * (mu_p - kappa * lap_sym)
+    denom = 1.0 + A * dt * kappa * K2**2
+    assert abs(denom - 1.0) > 0.2   # the stabilization term is exercised
+    gain = 1.0 + dt * lam / denom
+    np.testing.assert_allclose(measured, gain * np.asarray(s),
+                               rtol=0, atol=1e-8)
+
+
+@pytest.mark.parametrize("derivs", ["fourier", "fd"])
+def test_ac_rhs_linear_response_matches_analytic(derivs):
+    """Allen-Cahn linear response around the stable well c0=1 (mu(c0)=0, so
+    the R'(c0) term drops): d(delta)/dt = -R(c0)*(mu'(c0) - kappa*L)*delta,
+    checking the R-mobility coupling the tanh-interface oracle is blind to."""
+    from pde_opt_tpu.models.allen_cahn import AllenCahn2DPeriodic
+
+    N, kappa, m = 64, 5e-4, 4
+    L = 1.0
+    h = L / N
+    domain = Domain((N, N), ((0.0, L), (0.0, L)), "dimensionless",
+                    dtype=jnp.float64)
+    mu = lambda c: c**3 - c                     # noqa: E731
+    R = lambda c: 1.0 + 0.1 * c**2              # noqa: E731
+    eq = AllenCahn2DPeriodic(domain, kappa, mu, R, derivs=derivs)
+
+    x, _ = domain.mesh()
+    s = jnp.sin(2.0 * np.pi * m * x / L)
+    eps = 1e-5
+    base = jnp.ones((N, N), jnp.float64)
+    rhs = eq.rhs_fourier if derivs == "fourier" else eq.rhs_fd
+    measured = np.asarray((rhs(base + eps * s, 0.0)
+                           - rhs(base - eps * s, 0.0)) / (2.0 * eps))
+
+    if derivs == "fourier":
+        lap_sym = -(2.0 * np.pi * m / L) ** 2
+    else:
+        lap_sym = -_lap_symbol(m, N, h)
+    lam = -1.1 * (2.0 - kappa * lap_sym)        # -R(1)*(mu'(1) - kappa*L)
+    np.testing.assert_allclose(measured, lam * np.asarray(s),
+                               rtol=0, atol=1e-8)
+
+
 def _gpe_eigenmode_energy(omega, m_charge, dt=2e-3, n_steps=30):
     N, half = 64, 6.0
     domain = Domain((N, N), ((-half, half), (-half, half)), "dimensionless",
