@@ -217,6 +217,47 @@ def test_ch_sif_mode_amplification_matches_closed_form(derivs, c0, mode):
 
 
 @pytest.mark.parametrize("derivs", ["fourier", "fd"])
+def test_ch3d_sif_mode_amplification_matches_closed_form(derivs):
+    """Same closed-form semi-implicit gain as the 2D case, for the 3D family
+    (reference ``cahn_hilliard.py:112-200``) on a mixed (m,n,p) plane wave."""
+    from pde_opt_tpu.models.cahn_hilliard import CahnHilliard3DPeriodic
+    from pde_opt_tpu.ops.steppers import SemiImplicitFourierSpectral
+
+    N, kappa, A, dt = 24, 1e-3, 1.0, 2e-3
+    L = 1.0
+    h = L / N
+    m, n, p = 2, 3, 1
+    c0 = 0.5
+    domain = Domain((N, N, N), ((0.0, L),) * 3, "dimensionless",
+                    dtype=jnp.float64)
+    mu = lambda c: c**3 - c                     # noqa: E731
+    D = lambda c: 1.0 + 0.1 * c**2              # noqa: E731
+    eq = CahnHilliard3DPeriodic(domain, kappa, mu, D, derivs=derivs)
+    stepper = SemiImplicitFourierSpectral(A, eq.fourier_symbol, eq.fft,
+                                          eq.ifft)
+
+    x, y, z = domain.mesh()
+    s = jnp.sin(2.0 * np.pi * (m * x + n * y + p * z) / L)
+    eps = 1e-5
+    base = jnp.full((N, N, N), c0, jnp.float64)
+    y1p, _ = stepper.step(eq.rhs, base + eps * s, 0.0, dt)
+    y1m, _ = stepper.step(eq.rhs, base - eps * s, 0.0, dt)
+    measured = np.asarray((y1p - y1m) / (2.0 * eps))
+
+    K2 = (2.0 * np.pi / L) ** 2 * (m**2 + n**2 + p**2)
+    if derivs == "fourier":
+        lap_sym = -K2
+    else:
+        lap_sym = -sum(_lap_symbol(q, N, h) for q in (m, n, p))
+    mu_p = 3.0 * c0**2 - 1.0
+    D0 = 1.0 + 0.1 * c0**2
+    lam = D0 * lap_sym * (mu_p - kappa * lap_sym)
+    gain = 1.0 + dt * lam / (1.0 + A * dt * kappa * K2**2)
+    np.testing.assert_allclose(measured, gain * np.asarray(s),
+                               rtol=0, atol=1e-8)
+
+
+@pytest.mark.parametrize("derivs", ["fourier", "fd"])
 def test_ac_rhs_linear_response_matches_analytic(derivs):
     """Allen-Cahn linear response around the stable well c0=1 (mu(c0)=0, so
     the R'(c0) term drops): d(delta)/dt = -R(c0)*(mu'(c0) - kappa*L)*delta,
