@@ -29,6 +29,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NUM_ENVS = 4096
 GRID = 64
@@ -224,32 +225,41 @@ def bench_gpe_rot(platform):
     from pde_opt_tpu.models.gross_pitaevskii import GPE2DTSRot
     from pde_opt_tpu.ops.integrate import evolve
     from pde_opt_tpu.ops.steppers import DirectionalSplitting
-    from pde_opt_tpu.utils import density, detect_vortices, initialize_Psi
+    from pde_opt_tpu.utils import density, initialize_Psi
+    from pde_opt_tpu.utils.rl import vortex_winding
 
     B, N, L, dt, n_sub = 512, GRID, 20.0, 2e-4, 50
     domain = Domain((N, N), ((-L / 2, L / 2), (-L / 2, L / 2)))
     eq = GPE2DTSRot(domain, 500.0, 0.0, 0.9)
     stepper = DirectionalSplitting(eq.A_terms, eq.B_terms, domain.dx[0],
                                    time_scale=-1j)
-    psi0 = initialize_Psi(N, width=14, vortexnumber=1)
-    psi0 = psi0 / jnp.sqrt(jnp.sum(density(psi0)) * domain.dx[0] ** 2)
-    batch = jnp.broadcast_to(psi0, (B, N, N))
+
+    # Everything complex-valued must run under jit: the axon relay's eager
+    # path is UNIMPLEMENTED for complex ops (incl. iota/abs at setup time).
+    @jax.jit
+    def build():
+        psi0 = initialize_Psi(N, width=14, vortexnumber=1)
+        psi0 = psi0 / jnp.sqrt(jnp.sum(density(psi0)) * domain.dx[0] ** 2)
+        return jnp.broadcast_to(psi0, (B, N, N))
+
+    fetch_abs_sum = jax.jit(lambda y: jnp.sum(jnp.abs(y)))
 
     run = jax.jit(lambda y: evolve(stepper, lambda s, t: s, y, 0.0, dt, n_sub))
-    y = run(batch)
-    _ = float(jnp.sum(jnp.abs(y)))
+    y = run(build())
+    _ = float(fetch_abs_sum(y))
     t0 = time.perf_counter()
     runs = 10
     for _i in range(runs):
         y = run(y)
-    _ = float(jnp.sum(jnp.abs(y)))
+    _ = float(fetch_abs_sum(y))
     dtime = time.perf_counter() - t0
-    if not bool(jnp.isfinite(y.real).all()):
+    if not bool(jax.jit(lambda y: jnp.isfinite(y.real).all())(y)):
         return None
-    psi = jax.device_get(y[0])
-    census = detect_vortices(psi, amp_thresh=0.05 * float(abs(psi).max()))
+    thresh = 0.05 * float(jax.jit(lambda y: jnp.max(jnp.abs(y[0])))(y))
+    n_int = np.asarray(jax.device_get(
+        jax.jit(lambda y: vortex_winding(y[0], amp_thresh=thresh))(y)))
     return {"field_substeps_per_s": round(B * n_sub * runs / dtime, 1),
-            "num_vortices": int(census["num_vortices"])}
+            "num_vortices": int((n_int != 0).sum())}
 
 
 def bench_ch3d(platform):
@@ -300,7 +310,7 @@ def bench_ch3d(platform):
 
 
 def bench_ppo(platform):
-    """End-to-end PPO training rate: one jitted update = 16-step rollout
+    """End-to-end PPO training rate: one jitted update = 64-step rollout
     over the fused 4096-env fleet + GAE + 2 epochs x 4 minibatches of
     clipped-surrogate conv-policy updates.
 
@@ -308,7 +318,11 @@ def bench_ppo(platform):
     spent 93% of the chip on the conv policy over full-resolution 64²
     observations): 4x average-pooled 16² observations (the env owns
     ``state_to_observation_func``; reward/physics unchanged at 64²) and a
-    bf16-compute policy.  Also reports the physics:learner time split — the
+    bf16-compute policy.  Rollout length 64 (measured sweep
+    ``scripts/sweep_ppo_T.py``: T=16 792k, T=32 785k, T=64 878k trained
+    env-steps/s — longer rollouts amortize the per-update fixed cost; GAE
+    quality improves with T, and T=64 is still short of SB3's n_steps=2048
+    default).  Also reports the physics:learner time split — the
     random-policy rollout of the SAME env/obs config is the physics+obs
     floor; everything above it is the learner."""
     if platform == "cpu":
@@ -319,7 +333,7 @@ def bench_ppo(platform):
     from pde_opt_tpu.rl import ActorCriticConv, PPOConfig, ppo_train
 
     B = NUM_ENVS
-    T = 16
+    T = 64
     env = make_cahn_hilliard_control_env(
         num_envs=B, grid_size=GRID, substeps=SUBSTEPS, derivs="pallas",
         vectorized_control=True, spectral_solve="fused", obs_downsample=4,

@@ -115,25 +115,30 @@ class GPE2DTSRot(TimeSplittingEquation):
         self.e = e
         self.omega = omega
 
+        # Constants are kept REAL; complex values are formed in-trace by jnp
+        # ops.  Embedding complex numpy arrays as jit constants requires a
+        # host->device complex transfer, which some TPU runtimes (the axon
+        # relay) leave UNIMPLEMENTED — real constants + on-device `* 1j`
+        # compile everywhere and fold to the same HLO.
         kx, ky = domain.fft_mesh()
-        self.two_pi_i_kx = 2j * np.pi * kx
-        self.two_pi_i_ky = 2j * np.pi * ky
-        self.two_pi_i_kx_2 = self.two_pi_i_kx**2
-        self.two_pi_i_ky_2 = self.two_pi_i_ky**2
-        self.two_pi_i_k_2 = self.two_pi_i_kx_2 + self.two_pi_i_ky_2
+        self.two_pi_kx = 2.0 * np.pi * kx
+        self.two_pi_ky = 2.0 * np.pi * ky
         self.fft, self.ifft = make_fft_pair(2)
         self.xmesh, self.ymesh = domain.mesh()
 
     def A_terms(self, state_hat, t):
+        ikx = 1j * jnp.asarray(self.two_pi_kx)
+        iky = 1j * jnp.asarray(self.two_pi_ky)
         return (
-            0.5j * self.two_pi_i_kx_2 - self.omega * self.ymesh * self.two_pi_i_kx,
-            0.5j * self.two_pi_i_ky_2 + self.omega * self.xmesh * self.two_pi_i_ky,
+            0.5j * ikx**2 - self.omega * jnp.asarray(self.ymesh) * ikx,
+            0.5j * iky**2 + self.omega * jnp.asarray(self.xmesh) * iky,
         )
 
     def B_terms(self, state, t):
-        return -0.5j * (
+        trap = jnp.asarray(
             (1 + self.e) * self.xmesh**2 + (1 - self.e) * self.ymesh**2
-        ) - self.k * 1j * (jnp.abs(state) ** 2)
+        )
+        return -0.5j * trap - self.k * 1j * (jnp.abs(state) ** 2)
 
     def rhs(self, state, t):
         raise NotImplementedError(

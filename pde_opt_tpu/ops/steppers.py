@@ -726,9 +726,10 @@ class DirectionalSplitting(AbstractStepper):
         self.dx = dx
         self.time_scale = time_scale
         if normalize is None:
-            normalize = bool(jnp.iscomplexobj(jnp.asarray(time_scale))) and (
-                complex(time_scale).imag != 0.0
-            )
+            # Host-side dtype check: an eager jnp op on a complex scalar
+            # would crash TPU runtimes whose eager complex path is
+            # unimplemented (the axon relay) — and async-poison the client.
+            normalize = complex(time_scale).imag != 0.0
         self.normalize = normalize
 
     def step(self, rhs, y, t, dt):
