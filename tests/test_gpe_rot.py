@@ -70,3 +70,24 @@ def test_directional_split_batched():
     single = p.evolve(stepper, lambda y, t: y, psi0, 0.0, 2e-4, 50)
     np.testing.assert_allclose(np.asarray(density(out[0])),
                                np.asarray(density(single)), rtol=1e-8, atol=1e-12)
+
+
+def test_no_complex_constants_on_equation_or_stepper():
+    """TPU-relay compatibility guard: the rotating-frame equation/stepper
+    must not hold complex ndarray attributes (they would be embedded as jit
+    constants, requiring a host->device complex transfer that some TPU
+    runtimes leave unimplemented) and DirectionalSplitting construction must
+    not execute eager device ops (an eager complex op async-poisons the
+    relay client).  Complex values are formed in-trace from real constants."""
+    domain, eq, _ = _setup(0.9)
+    for name, val in vars(eq).items():
+        if isinstance(val, (np.ndarray, jnp.ndarray)):
+            assert not np.iscomplexobj(val), (
+                f"GPE2DTSRot.{name} is a complex array attribute")
+    stepper = DirectionalSplitting(eq.A_terms, eq.B_terms, domain.dx[0],
+                                   time_scale=-1j)
+    assert stepper.normalize is True   # host-side imag check, no jnp call
+    for name, val in vars(stepper).items():
+        assert not (isinstance(val, jnp.ndarray)), (
+            f"DirectionalSplitting.{name} is a device array (eager op at "
+            f"construction)")
