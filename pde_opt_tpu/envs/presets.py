@@ -404,6 +404,7 @@ def make_sbm_butler_volmer_control_env(
     particle_radius: float = 0.35,
     interface_width: float = 0.04,
     smooth_geometry: bool = False,
+    method: str = "fused",
 ) -> VectorPDEEnv:
     """Smoothed-boundary galvanostatic charging fleet (irregular particle).
 
@@ -416,8 +417,11 @@ def make_sbm_butler_volmer_control_env(
     the charge balance holds on the particle, not the box.  The agent
     drives the applied C-rate; reward trades ψ-weighted charging progress
     against ψ-weighted non-uniformity.  One RL step = ``substeps`` RK4
-    substeps (XLA path; ψ-dependent stencils are not circular convolutions,
-    so the cas-matmul fused kernel does not apply).
+    substeps.  ``method="fused"`` (default) runs them as ONE VMEM-resident
+    roll-stencil Pallas kernel (:mod:`pde_opt_tpu.ops.sbm_bv` — ψ-dependent
+    stencils are not circular convolutions, so this uses the roll-kernel
+    style of ``ops/fused.py`` rather than cas matmuls); ``method="rk4"``
+    keeps the per-substep XLA path.
 
     ``smooth_geometry=True`` derives ψ by running the Shape smoothing flow
     on the binary disk mask (the reference pipeline, one-time cost at
@@ -427,7 +431,13 @@ def make_sbm_butler_volmer_control_env(
     from ..models.allen_cahn import (
         AllenCahn2DSmoothedBoundaryButlerVolmerConstantCurrent,
     )
-    from ..ops.steppers import RK4
+
+    if method == "fused":
+        from ..ops.steppers import FusedSBMButlerVolmer as _solver_type
+    elif method == "rk4":
+        from ..ops.steppers import RK4 as _solver_type
+    else:
+        raise ValueError(f"unknown method: {method!r}")
 
     domain = gridmod.Domain(
         (grid_size, grid_size), ((-0.5, 0.5), (-0.5, 0.5)),
@@ -460,7 +470,7 @@ def make_sbm_butler_volmer_control_env(
     return VectorPDEEnv(
         equation_type=AllenCahn2DSmoothedBoundaryButlerVolmerConstantCurrent,
         domain=domain,
-        solver_type=RK4,
+        solver_type=_solver_type,
         end_time=end_time,
         step_dt=step_dt,
         numeric_dt=step_dt / substeps,

@@ -876,3 +876,60 @@ class FusedButlerVolmer(AbstractStepper):
 
     def step(self, rhs, y, t, dt):
         return self.evolve(rhs, y, t, dt, 1), None
+
+
+class FusedSBMButlerVolmer(AbstractStepper):
+    """Whole-macro-step fused Pallas RK4 stepper for the smoothed-boundary
+    galvanostatic Butler-Volmer env.
+
+    The SBM flux divergence ``div(ψ_face·grad c)/ψ`` (reference
+    ``allen_cahn.py:299-321``) is a variable-coefficient stencil — not a
+    circular convolution — so instead of cas matmuls the whole RK4
+    macro-step runs as a VMEM-resident roll-stencil kernel
+    (:mod:`pde_opt_tpu.ops.sbm_bv`): ψ-weighted fluxes, per-env ψ-weighted
+    constraint integrals and the α=1/2 closed-form overpotential all
+    evaluate between one HBM read and one write.  Differentiable (custom
+    VJP through the checkpointed roll-stencil oracle) w.r.t. state and
+    C-rate.
+    """
+
+    required_equation_attrs = ("kappa", "mu", "j0", "alpha", "Crate",
+                               "domain", "psi")
+    order = 4
+
+    def __init__(self, kappa, mu, j0, alpha, Crate, domain, psi,
+                 block_envs=None, interpret=None):
+        if float(alpha) != 0.5:
+            raise ValueError(
+                "FusedSBMButlerVolmer implements the alpha=1/2 closed-form "
+                "galvanostatic closure (as the reference does); got "
+                f"alpha={alpha}"
+            )
+        self.kappa = kappa
+        self.mu = mu
+        self.j0 = j0
+        self.alpha = alpha
+        self.Crate = Crate
+        self.domain = domain
+        self.psi = psi
+        self.block_envs = block_envs
+        self.interpret = interpret
+
+    def evolve(self, rhs, y0, t0, dt, n_steps, unroll=1):
+        del rhs, t0, unroll
+        if isinstance(dt, jax.core.Tracer):
+            raise TypeError(
+                "FusedSBMButlerVolmer requires trace-time concrete dt")
+        from .sbm_bv import make_sbm_bv_fused_macro
+
+        hx, hy = self.domain.dx
+        macro = make_sbm_bv_fused_macro(
+            self.mu, self.j0, float(self.kappa), self.psi, float(hx),
+            float(hy), float(dt), int(n_steps), block_envs=self.block_envs,
+            interpret=self.interpret,
+        )
+        crate = _normalize_per_env_control(self.Crate, y0.shape[:-2], "Crate")
+        return macro(y0, crate)
+
+    def step(self, rhs, y, t, dt):
+        return self.evolve(rhs, y, t, dt, 1), None
