@@ -6,36 +6,47 @@ Primary metric (driver north star, BASELINE.json): aggregate env-steps/s at
 reward, observation, auto-reset) — all inside one on-device scan with zero
 host round-trips.
 
-Also measured (TPU only; recorded under ``"configs"``):
-  * model FLOPs utilization (MFU) and HBM bandwidth of the flagship kernel,
-    from an analytic FLOPs/bytes model of the cas macro (4 bf16 matmuls of
-    depth 128 per substep per env — see ops/cas_spectral.py);
-  * 128×128 Cahn-Hilliard fleet (unpacked cas kernel path);
-  * Allen-Cahn fused fleet;
-  * Gross-Pitaevskii Strang fleet (XLA FFT path);
-  * 32³ 3D Cahn-Hilliard batched spectral rollout;
-  * the differentiable training path: value+grad of a fused cas macro vs
-    the same gradient through the per-substep XLA stepper (the round-1
-    fused kernels were forward-only; the measured ratio is the training
-    speedup unlocked by the custom VJPs).
+Un-losable-by-construction harness (round 4): the top-level process is a
+jax-free ORCHESTRATOR that runs every config — including the flagship — in
+its own subprocess (``python bench.py --config NAME``) under a hard
+per-config timeout and a global wall-clock budget
+(``PDE_OPT_BENCH_BUDGET_S``, default 720 s).  A hung XLA compile or relay
+stall kills only that one child; the orchestrator records
+``{"skipped"/"error": ...}`` for it and ALWAYS prints the final JSON line.
+Subprocesses run strictly sequentially (one TPU job at a time).
+
+Config matrix (TPU only; recorded under ``"configs"``):
+  * flagship MFU/HBM roofline from the analytic cas FLOPs model;
+  * 128×128 and 256² Cahn-Hilliard (fused cas kernel, depth-256 matmuls);
+  * Allen-Cahn fused fleet; GPE Strang fleet (fused cas vs XLA FFT);
+  * Butler-Volmer charging fleet: fused Pallas RK4 at 64² vs the XLA RK4
+    path at the same 64² (its documented in-scan fusion cliff — each its own
+    subprocess so the pathological compile cannot sink the matrix) and at
+    the XLA-favourable 48²;
+  * smoothed-boundary BV fleet (fused Pallas macro, the preset default);
+  * rotating-frame GPE via DirectionalSplitting + vortex census;
+  * 32³ 3D Cahn-Hilliard batched spectral rollout (XLA rfft vs cas);
+  * PPO end-to-end training rate with physics/learner split;
+  * training path: value+grad of the fused cas macro vs per-substep XLA.
 
 Prints exactly ONE JSON line; the leading keys keep the driver contract
 (metric/value/unit/vs_baseline), extra keys carry the matrix.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 NUM_ENVS = 4096
 GRID = 64
 SUBSTEPS = 10
 STEPS_PER_RUN = 100
 TIMED_RUNS = 3
+
+BUDGET_S = float(os.environ.get("PDE_OPT_BENCH_BUDGET_S", "720"))
+GRACE_S = 60.0
 
 # Public per-chip peak numbers: (dense bf16 FLOP/s, HBM bytes/s).
 PEAKS = {
@@ -48,7 +59,16 @@ PEAKS = {
 }
 
 
+# --------------------------------------------------------------------------
+# Config workers.  Each runs inside its own subprocess; jax is imported
+# lazily so the orchestrator process stays jax-free (it must never touch
+# the TPU while a child holds it).
+# --------------------------------------------------------------------------
+
+
 def _device_peaks():
+    import jax
+
     kind = jax.devices()[0].device_kind.lower()
     for key, peaks in PEAKS.items():
         if key in kind:
@@ -58,6 +78,8 @@ def _device_peaks():
 
 def _rollout_rate(env, num_envs, steps_per_run, timed_runs=TIMED_RUNS, key0=0):
     """env-steps/s of a random-policy on-device rollout (donated state)."""
+    import jax
+    import jax.numpy as jnp
 
     def policy(obs, key):
         return jax.random.uniform(
@@ -94,7 +116,11 @@ def _cas_substep_flops(H, W):
     return 2 * (2 * H * W * (HP + WP))
 
 
-def bench_flagship(platform):
+def run_flagship():
+    import jax
+
+    platform = jax.devices()[0].platform
+    (peak_flops, peak_bw), device_kind = _device_peaks()
     from pde_opt_tpu.envs.presets import make_cahn_hilliard_control_env
 
     num_envs = NUM_ENVS if platform != "cpu" else 512
@@ -106,12 +132,17 @@ def bench_flagship(platform):
         vectorized_control=True, spectral_solve=spectral,
     )
     rate, _ = _rollout_rate(env, num_envs, steps)
-    return rate, num_envs
+    return {
+        "platform": platform,
+        "device": device_kind,
+        "rate": rate,
+        "num_envs": num_envs,
+        "peak_flops": peak_flops,
+        "peak_bw": peak_bw,
+    }
 
 
-def bench_ch128(platform):
-    if platform == "cpu":
-        return None
+def run_ch128():
     from pde_opt_tpu.envs.presets import make_cahn_hilliard_control_env
 
     env = make_cahn_hilliard_control_env(
@@ -119,15 +150,22 @@ def bench_ch128(platform):
         vectorized_control=True, spectral_solve="fused",
     )
     rate, _ = _rollout_rate(env, 1024, 50, key0=10)
-    return rate
+    if not rate:
+        return None
+    (peak_flops, _), _ = _device_peaks()
+    f128 = _cas_substep_flops(128, 128)
+    return {
+        "env_steps_per_s": round(rate, 1),
+        "mfu": (round(rate * SUBSTEPS * f128 / peak_flops, 3)
+                if peak_flops else None),
+    }
 
 
-def bench_ch256(platform):
+def run_ch256():
     """256² (the reference's largest exercised rollout) on the fused kernel:
     depth-256 cas matmuls, no env packing."""
-    if platform == "cpu":
-        return None
-    import time as _time
+    import jax
+    import jax.numpy as jnp
 
     from pde_opt_tpu.ops.cas_spectral import make_ch_cas_fused_macro
 
@@ -139,20 +177,24 @@ def bench_ch256(platform):
         lambda c: c**3 - c, N, N, 0.01, 0.01, 1.0, 1e-4, S))
     out = macro(u, kap)
     _ = float(jnp.sum(out))
-    t0 = _time.perf_counter()
+    t0 = time.perf_counter()
     runs = 20
     for _i in range(runs):
         out = macro(out, kap)
     _ = float(jnp.sum(out))
-    dt = _time.perf_counter() - t0
+    dt = time.perf_counter() - t0
     if not bool(jnp.isfinite(out).all()):
         return None
-    return B * S * runs / dt
+    rate = B * S * runs / dt
+    (peak_flops, _), _ = _device_peaks()
+    f256 = _cas_substep_flops(N, N)
+    return {
+        "env_substeps_per_s": round(rate, 1),
+        "mfu": (round(rate * f256 / peak_flops, 3) if peak_flops else None),
+    }
 
 
-def bench_ac64(platform):
-    if platform == "cpu":
-        return None
+def run_ac64():
     from pde_opt_tpu.envs.presets import make_allen_cahn_control_env
 
     env = make_allen_cahn_control_env(
@@ -160,48 +202,46 @@ def bench_ac64(platform):
         spectral_solve="fused",
     )
     rate, _ = _rollout_rate(env, NUM_ENVS, 50, key0=20)
-    return rate
+    return {"env_steps_per_s": round(rate, 1)} if rate else None
 
 
-def bench_bv48(platform):
-    """Butler-Volmer charging fleet: fused Pallas RK4 kernel vs the XLA RK4
-    path at the SAME 64² grid (the preset default), plus the XLA path at its
-    best-case 48² grid for context (at 64² XLA falls off an in-scan fusion
-    cliff, see docs/performance.md)."""
-    if platform == "cpu":
-        return None
+def _bv_rate(method, grid):
     from pde_opt_tpu.envs import make_butler_volmer_control_env
 
-    out = {}
-    for key, method, grid in (("fused_64", "fused", 64),
-                              ("xla_64", "rk4", 64),
-                              ("xla_48", "rk4", 48)):
-        env = make_butler_volmer_control_env(num_envs=2048, grid_size=grid,
-                                             substeps=SUBSTEPS, method=method)
-        rate, _ = _rollout_rate(env, 2048, 40, key0=80)
-        if rate:
-            out[key] = rate
-    return out or None
+    env = make_butler_volmer_control_env(num_envs=2048, grid_size=grid,
+                                         substeps=SUBSTEPS, method=method)
+    rate, _ = _rollout_rate(env, 2048, 40, key0=80)
+    return {"env_steps_per_s": round(rate, 1)} if rate else None
 
 
-def bench_sbm_bv(platform):
-    """Smoothed-boundary galvanostatic BV charging fleet (XLA RK4 path —
-    psi-dependent stencils are not circular convolutions, so no cas
-    kernel applies)."""
-    if platform == "cpu":
-        return None
+def run_bv_fused_64():
+    return _bv_rate("fused", 64)
+
+
+def run_bv_xla_64():
+    # The XLA RK4 path at the preset's own 64² grid: the documented in-scan
+    # fusion-cliff pathology (docs/performance.md) — isolated in its own
+    # subprocess so a pathological compile cannot sink the rest.
+    return _bv_rate("rk4", 64)
+
+
+def run_bv_xla_48():
+    return _bv_rate("rk4", 48)
+
+
+def run_sbm_bv():
+    """Smoothed-boundary galvanostatic BV charging fleet (fused Pallas
+    variable-coefficient RK4 macro — the preset default since round 3)."""
     from pde_opt_tpu.envs import make_sbm_butler_volmer_control_env
 
     env = make_sbm_butler_volmer_control_env(num_envs=1024, grid_size=64,
                                              substeps=SUBSTEPS)
     rate, _ = _rollout_rate(env, 1024, 40, key0=90)
-    return rate
+    return {"env_steps_per_s": round(rate, 1)} if rate else None
 
 
-def bench_gpe64(platform):
+def run_gpe64():
     """GPE Strang fleet: fused cas kernel vs merged-FFT path."""
-    if platform == "cpu":
-        return None
     from pde_opt_tpu.envs.presets import make_gpe_control_env
 
     out = {}
@@ -211,16 +251,19 @@ def bench_gpe64(platform):
             spectral_solve=mode,
         )
         rate, _ = _rollout_rate(env, 1024, 50, key0=30)
-        out[mode] = rate
-    return out
+        if rate:
+            out[f"{mode}_env_steps_per_s"] = round(rate, 1)
+    return out or None
 
 
-def bench_gpe_rot(platform):
+def run_gpe_rot():
     """Rotating-frame GPE via DirectionalSplitting: batched imaginary-time
     field-substeps/s at 64², plus a vortex census of the rotating ground
     state (the capability the reference defines but ships no solver for)."""
-    if platform == "cpu":
-        return None
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from pde_opt_tpu.grid import Domain
     from pde_opt_tpu.models.gross_pitaevskii import GPE2DTSRot
     from pde_opt_tpu.ops.integrate import evolve
@@ -262,10 +305,11 @@ def bench_gpe_rot(platform):
             "num_vortices": int((n_int != 0).sum())}
 
 
-def bench_ch3d(platform):
+def run_ch3d():
     """Batched 32³ rollouts: XLA-rfft SIF vs the cas-matmul 3D macro."""
-    if platform == "cpu":
-        return None
+    import jax
+    import jax.numpy as jnp
+
     from pde_opt_tpu.grid import Domain
     from pde_opt_tpu.models.cahn_hilliard import CahnHilliard3DPeriodic
     from pde_opt_tpu.ops.cas3d import make_ch3d_cas_macro
@@ -306,28 +350,25 @@ def bench_ch3d(platform):
             return None
         return B * n_sub * runs / dt
 
-    return {"fft": rate(fft_run, 3), "cas": rate(cas_run, 10)}
+    out = {}
+    r = rate(fft_run, 3)
+    if r:
+        out["fft_field_substeps_per_s"] = round(r, 1)
+    r = rate(cas_run, 10)
+    if r:
+        out["cas_field_substeps_per_s"] = round(r, 1)
+    return out or None
 
 
-def bench_ppo(platform):
+def run_ppo():
     """End-to-end PPO training rate: one jitted update = 64-step rollout
     over the fused 4096-env fleet + GAE + 2 epochs x 4 minibatches of
-    clipped-surrogate conv-policy updates.
-
-    Learner pipeline (round-3 rework of the round-2 434.8 ms update, which
-    spent 93% of the chip on the conv policy over full-resolution 64²
-    observations): 4x average-pooled 16² observations (the env owns
-    ``state_to_observation_func``; reward/physics unchanged at 64²) and a
-    bf16-compute policy.  Rollout length 64 (measured sweep
-    ``scripts/sweep_ppo_T.py``: T=16 792k, T=32 785k, T=64 878k trained
-    env-steps/s — longer rollouts amortize the per-update fixed cost; GAE
-    quality improves with T, and T=64 is still short of SB3's n_steps=2048
-    default).  Also reports the physics:learner time split — the
-    random-policy rollout of the SAME env/obs config is the physics+obs
-    floor; everything above it is the learner."""
-    if platform == "cpu":
-        return None
-    import time as _time
+    clipped-surrogate conv-policy updates.  Also reports the
+    physics:learner time split — the random-policy rollout of the SAME
+    env/obs config is the physics+obs floor; everything above it is the
+    learner."""
+    import jax
+    import jax.numpy as jnp
 
     from pde_opt_tpu.envs import make_cahn_hilliard_control_env
     from pde_opt_tpu.rl import ActorCriticConv, PPOConfig, ppo_train
@@ -344,7 +385,7 @@ def bench_ppo(platform):
     cfg = PPOConfig(rollout_steps=T, epochs=2, minibatches=4, lr=3e-4)
     times = []
     ppo_train(env, net, cfg, num_updates=8, key=jax.random.PRNGKey(71),
-              log_fn=lambda u, m: times.append(_time.perf_counter()))
+              log_fn=lambda u, m: times.append(time.perf_counter()))
     if len(times) < 4:
         return None
     dt = (times[-1] - times[1]) / (len(times) - 2)   # steady-state
@@ -361,18 +402,18 @@ def bench_ppo(platform):
     return out
 
 
-def bench_train_grad(platform):
+def run_train_grad():
     """Training-path throughput: value+grad of a 10-substep macro, fused cas
-    custom-VJP vs per-substep XLA rfft stepper.  Returns (fused, xla) in
-    grad-env-substeps/s."""
-    if platform == "cpu":
-        return None, None
+    custom-VJP vs per-substep XLA rfft stepper (grad-env-substeps/s)."""
+    import jax
+    import jax.numpy as jnp
+
     from pde_opt_tpu.grid import Domain
+    from pde_opt_tpu.models.cahn_hilliard import CahnHilliard2DPeriodic
     from pde_opt_tpu.ops.cas_spectral import make_ch_cas_fused_macro
     from pde_opt_tpu.ops.integrate import evolve
     from pde_opt_tpu.ops.steppers import SemiImplicitFourierSpectral
     from pde_opt_tpu.utils.compat import prepare_solver_params
-    from pde_opt_tpu.models.cahn_hilliard import CahnHilliard2DPeriodic
 
     B, N, n_sub = 1024, GRID, SUBSTEPS
     mu = lambda c: c**3 - c
@@ -427,33 +468,104 @@ def bench_train_grad(platform):
         dt = time.perf_counter() - t0
         return B * n_sub * runs / dt
 
-    return rate(fused_grad), rate(xla_grad)
+    fused_g, xla_g = rate(fused_grad), rate(xla_grad)
+    if not (fused_g and xla_g):
+        return None
+    return {
+        "fused_grad_env_substeps_per_s": round(fused_g, 1),
+        "xla_grad_env_substeps_per_s": round(xla_g, 1),
+        "fused_vs_xla_speedup": round(fused_g / xla_g, 2),
+    }
+
+
+# (worker, per-config timeout seconds), in run order.  New / previously
+# never driver-captured configs run first so a budget squeeze costs only
+# re-confirmations of BENCH_r02 numbers, not first captures.
+CONFIG_REGISTRY = {
+    "flagship": (run_flagship, 300),
+    "sbm_bv_64x64_1024envs": (run_sbm_bv, 180),
+    "gpe_rot_64x64_512batch": (run_gpe_rot, 180),
+    "bv_fused_64": (run_bv_fused_64, 180),
+    "bv_xla_64": (run_bv_xla_64, 240),
+    "ppo_64x64_4096envs": (run_ppo, 330),
+    "train_grad_64x64_1024envs": (run_train_grad, 240),
+    "ch3d_32cubed_256batch_substeps": (run_ch3d, 240),
+    "gpe_strang_64x64_1024envs": (run_gpe64, 200),
+    "ac_64x64_4096envs_fused": (run_ac64, 150),
+    "ch_128x128_1024envs": (run_ch128, 150),
+    "ch_256x256_256batch_substeps": (run_ch256, 150),
+    "bv_xla_48": (run_bv_xla_48, 150),
+}
+
+
+def _child_main(name):
+    fn, _cap = CONFIG_REGISTRY[name]
+    data = fn()
+    print(json.dumps({"config": name, "ok": data is not None, "data": data}),
+          flush=True)
+
+
+# --------------------------------------------------------------------------
+# Orchestrator (jax-free).
+# --------------------------------------------------------------------------
+
+
+def _run_child(name, timeout_s):
+    """Run one config subprocess; returns (ok, data_or_reason)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--config", name],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return False, {"skipped": f"timeout>{int(timeout_s)}s"}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            frag = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(frag, dict) and frag.get("config") == name:
+            if frag.get("ok") and frag.get("data") is not None:
+                return True, frag["data"]
+            return False, {"skipped": "non-finite-or-empty"}
+    err = (proc.stderr or "").strip().splitlines()
+    tail = err[-1][:180] if err else f"rc={proc.returncode}"
+    return False, {"error": tail}
 
 
 def main():
-    platform = jax.devices()[0].platform
-    (peak_flops, peak_bw), device_kind = _device_peaks()
+    t0 = time.perf_counter()
 
-    rate, num_envs = bench_flagship(platform)
-    if rate is None:
-        print(json.dumps({"metric": "BENCH INVALID: non-finite rewards",
-                          "value": 0.0, "unit": "env-steps/s",
-                          "vs_baseline": 0.0}))
+    def remaining():
+        return BUDGET_S + GRACE_S - (time.perf_counter() - t0)
+
+    ok, flag = _run_child("flagship", min(CONFIG_REGISTRY["flagship"][1],
+                                          remaining()))
+    if not ok or not flag.get("rate"):
+        print(json.dumps({
+            "metric": "BENCH INVALID: flagship failed",
+            "value": 0.0, "unit": "env-steps/s", "vs_baseline": 0.0,
+            "detail": flag,
+        }))
         sys.exit(1)
 
+    rate = flag["rate"]
     out = {
         "metric": (
             f"env-steps/s, {GRID}x{GRID} Cahn-Hilliard control env "
-            f"({num_envs} envs, {SUBSTEPS} SIF substeps/step, {platform})"
+            f"({flag['num_envs']} envs, {SUBSTEPS} SIF substeps/step, "
+            f"{flag['platform']})"
         ),
         "value": round(rate, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(rate / 1e6, 4),
-        "device": device_kind,
+        "device": flag["device"],
     }
 
-    if platform != "cpu":
+    if flag["platform"] != "cpu":
         # Roofline accounting for the flagship kernel.
+        peak_flops, peak_bw = flag["peak_flops"], flag["peak_bw"]
         f_sub = _cas_substep_flops(GRID, GRID)
         achieved_flops = rate * SUBSTEPS * f_sub
         # HBM: the macro reads+writes the field once per macro-step; obs /
@@ -469,61 +581,37 @@ def main():
             "hbm_util": (round(achieved_bw / peak_bw, 4)
                          if peak_bw else None),
         }
+
         configs = {}
-        r = bench_ch128(platform)
-        if r:
-            f128 = _cas_substep_flops(128, 128)
-            configs["ch_128x128_1024envs"] = {
-                "env_steps_per_s": round(r, 1),
-                "mfu": (round(r * SUBSTEPS * f128 / peak_flops, 3)
-                        if peak_flops else None),
-            }
-        r = bench_ch256(platform)
-        if r:
-            configs["ch_256x256_256batch_substeps"] = {
-                "env_substeps_per_s": round(r, 1)}
-        r = bench_ac64(platform)
-        if r:
-            configs["ac_64x64_4096envs_fused"] = {
-                "env_steps_per_s": round(r, 1)}
-        r = bench_bv48(platform)
-        if r:
-            configs["bv_2048envs"] = {
-                f"{k}_env_steps_per_s": round(v, 1) for k, v in r.items()
-            }
-        r = bench_sbm_bv(platform)
-        if r:
-            configs["sbm_bv_64x64_1024envs"] = {
-                "env_steps_per_s": round(r, 1)}
-        r = bench_gpe64(platform)
-        if r:
-            configs["gpe_strang_64x64_1024envs"] = {
-                f"{k}_env_steps_per_s": round(v, 1)
-                for k, v in r.items() if v
-            }
-        r = bench_gpe_rot(platform)
-        if r:
-            configs["gpe_rot_64x64_512batch"] = r
-        r = bench_ch3d(platform)
-        if r:
-            configs["ch3d_32cubed_256batch_substeps"] = {
-                f"{k}_field_substeps_per_s": round(v, 1)
-                for k, v in r.items() if v
-            }
-        r = bench_ppo(platform)
-        if r:
-            configs["ppo_64x64_4096envs"] = r
-        fused_g, xla_g = bench_train_grad(platform)
-        if fused_g and xla_g:
-            configs["train_grad_64x64_1024envs"] = {
-                "fused_grad_env_substeps_per_s": round(fused_g, 1),
-                "xla_grad_env_substeps_per_s": round(xla_g, 1),
-                "fused_vs_xla_speedup": round(fused_g / xla_g, 2),
-            }
+        for name, (_fn, cap) in CONFIG_REGISTRY.items():
+            if name == "flagship":
+                continue
+            if time.perf_counter() - t0 > BUDGET_S:
+                configs[name] = {"skipped": "budget"}
+                continue
+            _ok, data = _run_child(name, min(cap, max(10.0, remaining())))
+            configs[name] = data
+
+        # Merge the three BV subprocesses into the historical record shape.
+        bv = {}
+        for short, full in (("fused_64", "bv_fused_64"),
+                            ("xla_64", "bv_xla_64"),
+                            ("xla_48", "bv_xla_48")):
+            frag = configs.pop(full, None)
+            if isinstance(frag, dict) and "env_steps_per_s" in frag:
+                bv[f"{short}_env_steps_per_s"] = frag["env_steps_per_s"]
+            elif frag is not None:
+                bv[short] = frag
+        if bv:
+            configs["bv_2048envs"] = bv
         out["configs"] = configs
+        out["bench_wallclock_s"] = round(time.perf_counter() - t0, 1)
 
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--config":
+        _child_main(sys.argv[2])
+    else:
+        main()

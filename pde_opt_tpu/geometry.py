@@ -9,8 +9,10 @@ basis (:81-203).
 TPU-native notes: the smoothing flow runs through this framework's own
 adaptive Tsit5 driver (:mod:`pde_opt_tpu.ops.integrate`) instead of diffrax —
 one compiled ``while_loop`` on device.  The eigenmode computation is a
-one-time host-side preprocessing step (scipy shift-invert Lanczos), exactly
-as in the reference; its output ships to device as a constant basis.
+one-time host-side preprocessing step: the Laplacian is assembled from the
+mask's directed link field (roll + seam cut) and its lowest modes come from
+a direct dense symmetric solve (LOBPCG past ``_DENSE_EIG_LIMIT`` nodes);
+the output ships to device as a constant basis.
 """
 
 from __future__ import annotations
@@ -74,21 +76,17 @@ class Shape:
             return 18.0 / eps * u * (1.0 - u) * (1.0 - 2.0 * u)
 
         def rhs(u, t):
-            gradx = st.grad_c(u, hx, -2)
-            grady = st.grad_c(u, hy, -1)
-            grad2x = st.grad2_c(u, hx, -2)
-            grad2y = st.grad2_c(u, hy, -1)
-            grad2xy = st.grad2_cross_c(u, hx, hy, -2, -1)
-            grad_norm_sq = gradx**2 + grady**2
-            grad_norm_sq = jnp.where(grad_norm_sq < 1e-7, 1.0, grad_norm_sq)
-            norm_laplace = (
-                grad2x * gradx**2 + 2.0 * grad2xy * gradx * grady + grad2y * grady**2
-            ) / grad_norm_sq
-            laplace = grad2x + grad2y
-            return (
-                2.0 * (curv * laplace + (1.0 - curv) * norm_laplace)
-                - potential(u) / eps
-            )
+            gx = st.grad_c(u, hx, -2)
+            gy = st.grad_c(u, hy, -1)
+            uxx = st.grad2_c(u, hx, -2)
+            uyy = st.grad2_c(u, hy, -1)
+            uxy = st.grad2_cross_c(u, hx, hy, -2, -1)
+            mag2 = jnp.where(gx * gx + gy * gy < 1e-7, 1.0, gx * gx + gy * gy)
+            # Second derivative along the interface normal, nᵀ·H·n.
+            along_normal = (uxx * gx * gx + uyy * gy * gy
+                            + 2.0 * uxy * gx * gy) / mag2
+            blend = curv * (uxx + uyy) + (1.0 - curv) * along_normal
+            return 2.0 * blend - potential(u) / eps
 
         y0 = self.binary.astype(jnp.result_type(float))
         ys = integrate_adaptive(
@@ -103,77 +101,94 @@ class Shape:
     def laplacian_from_mask(self, periodic: bool = False):
         """4-neighbour unnormalized graph Laplacian of the 0/1 mask.
 
-        Host-side (scipy sparse), one-time.  Returns ``(L, ids)`` where ``L``
-        is CSR of shape (n_nodes, n_nodes) and ``ids`` maps pixels to node
-        index (−1 outside the mask).  Reference ``shapes.py:81-143``.
+        Host-side, one-time.  Returns ``(L, ids)`` where ``L`` is CSR of
+        shape (n_nodes, n_nodes) and ``ids`` maps pixels to node index
+        (−1 outside the mask).  Same operator as reference
+        ``shapes.py:81-143`` (capability parity), assembled here from the
+        directed *link field*: nodes are numbered in raster order by a
+        cumulative sum over the flat mask, each axis contributes the links
+        ``ids → roll(ids, −1)`` wherever both endpoints are in the mask
+        (with the roll's wrap-around seam cut unless ``periodic``), and
+        ``L = diag(degree) − (A + Aᵀ)`` symmetrizes in one shot.
         """
-        from scipy.sparse import coo_matrix, csr_matrix
+        from scipy import sparse
 
         mask = np.asarray(self.binary) > 0
         H, W = mask.shape
-        ids = -np.ones((H, W), dtype=np.int64)
-        ids[mask] = np.arange(mask.sum(), dtype=np.int64)
         n = int(mask.sum())
+        ids = np.where(
+            mask, np.cumsum(mask.ravel()).reshape(H, W) - 1, -1
+        ).astype(np.int64)
         if n == 0:
-            return csr_matrix((0, 0)), ids
+            return sparse.csr_matrix((0, 0)), ids
 
-        def undirected_edges(dy, dxx):
-            if periodic:
-                m_both = mask & np.roll(mask, (dy, dxx), axis=(0, 1))
-                if not m_both.any():
-                    return np.empty(0, np.int64), np.empty(0, np.int64)
-                u = ids[m_both]
-                v = np.roll(ids, (dy, dxx), axis=(0, 1))[m_both]
-                return u, v
-            y0, y1 = max(0, dy), H + min(0, dy)
-            x0, x1 = max(0, dxx), W + min(0, dxx)
-            m1 = mask[y0:y1, x0:x1]
-            m2 = mask[y0 - dy : y1 - dy, x0 - dxx : x1 - dxx]
-            both = m1 & m2
-            if not both.any():
-                return np.empty(0, np.int64), np.empty(0, np.int64)
-            u = ids[y0:y1, x0:x1][both]
-            v = ids[y0 - dy : y1 - dy, x0 - dxx : x1 - dxx][both]
-            return u, v
+        rows, cols = [], []
+        for axis in (0, 1):
+            ahead = np.roll(ids, -1, axis=axis)
+            link = (ids >= 0) & (ahead >= 0)
+            if not periodic:
+                seam = [slice(None)] * 2
+                seam[axis] = -1
+                link[tuple(seam)] = False
+            rows.append(ids[link])
+            cols.append(ahead[link])
+        r = np.concatenate(rows)
+        c = np.concatenate(cols)
+        adj = sparse.coo_matrix(
+            (np.ones(r.size), (r, c)), shape=(n, n)
+        )
+        adj = (adj + adj.T).tocsr()
+        degree = np.asarray(adj.sum(axis=1)).ravel()
+        lap = (sparse.diags(degree) - adj).tocsr()
+        return lap, ids
 
-        ur, vr = undirected_edges(0, +1)
-        ud, vd = undirected_edges(+1, 0)
-        u_one = np.concatenate([ur, ud])
-        v_one = np.concatenate([vr, vd])
-        deg = np.bincount(np.concatenate([u_one, v_one]), minlength=n).astype(np.float64)
-        rows_off = np.concatenate([u_one, v_one])
-        cols_off = np.concatenate([v_one, u_one])
-        data_off = -np.ones(rows_off.shape[0], dtype=np.float64)
-        rows = np.concatenate([rows_off, np.arange(n)])
-        cols = np.concatenate([cols_off, np.arange(n)])
-        data = np.concatenate([data_off, deg])
-        L = coo_matrix((data, (rows, cols)), shape=(n, n)).tocsr()
-        return L, ids
+    # Above this node count, fall back from the dense symmetric
+    # eigensolver to block-iterative LOBPCG (dense eigh is O(n³)/O(n²)
+    # memory; 8192 nodes ≈ 0.5 GiB f64 and a few seconds — fine for a
+    # one-time preprocessing step, past that iterate).
+    _DENSE_EIG_LIMIT = 8192
 
     def get_shape_modes(self, N: Optional[int] = None):
-        """First ``N`` graph-Laplacian eigenmodes of the mask.
+        """First ``N`` graph-Laplacian eigenmodes of the mask (all if None).
 
-        Shift-invert Lanczos near zero (scipy ``eigsh``), reference
-        ``shapes.py:145-203``.  Results stored as ``self.shape_basis``
-        ((H, W, N) device array) and ``self.shape_basis_evals``.
+        Smallest-eigenvalue modes of the operator from
+        :meth:`laplacian_from_mask` — capability parity with reference
+        ``shapes.py:145-203``, computed by a direct dense symmetric
+        solve (``scipy.linalg.eigh`` on the lowest ``N`` indices) for
+        typical mask sizes, with a LOBPCG block iteration beyond
+        ``_DENSE_EIG_LIMIT`` nodes.  Results stored as
+        ``self.shape_basis`` ((H, W, N) device array, zero off-mask) and
+        ``self.shape_basis_evals``.
         """
-        import scipy.sparse.linalg
+        lap, node_ids = self.laplacian_from_mask()
+        n = lap.shape[0]
+        k = n if N is None else int(min(N, n))
+        if k <= 0 or n == 0:
+            raise ValueError("mask has no nodes or N <= 0")
 
-        laplacian, node_ids = self.laplacian_from_mask()
-        n = laplacian.shape[0]
-        if (laplacian != laplacian.T).nnz != 0:
-            raise ValueError("Laplacian matrix is not symmetric")
-        diag_mean = float(laplacian.diagonal().mean()) if n > 0 else 1.0
-        sigma = max(diag_mean, 1.0) * 1e-8
-        eigenvals, eigenvecs = scipy.sparse.linalg.eigsh(
-            laplacian, k=N, which="LM", sigma=sigma, tol=1e-8, maxiter=None
-        )
-        H, W = self.binary.shape
-        output = np.zeros((H, W, N))
-        valid_mask = node_ids >= 0
-        valid_node_ids = node_ids[valid_mask]
-        for i in range(N):
-            output[valid_mask, i] = eigenvecs[:, i][valid_node_ids]
-        self.shape_basis = jnp.array(output)
-        self.shape_basis_evals = eigenvals
+        if n <= self._DENSE_EIG_LIMIT:
+            import scipy.linalg
+
+            evals, vecs = scipy.linalg.eigh(
+                lap.toarray(), subset_by_index=(0, k - 1)
+            )
+        else:
+            import scipy.sparse.linalg
+
+            rng = np.random.default_rng(0)
+            block = rng.standard_normal((n, k))
+            block[:, 0] = 1.0  # seed the known constant kernel mode
+            evals, vecs = scipy.sparse.linalg.lobpcg(
+                lap, block, largest=False, tol=1e-7, maxiter=500
+            )
+            order = np.argsort(evals)
+            evals, vecs = evals[order], vecs[:, order]
+
+        # Scatter node values back onto the grid: node numbering is raster
+        # order, so the in-mask flat positions line up with vecs' rows.
+        H, W = node_ids.shape
+        grid = np.zeros((H * W, k))
+        grid[np.flatnonzero(node_ids.ravel() >= 0)] = vecs
+        self.shape_basis = jnp.asarray(grid.reshape(H, W, k))
+        self.shape_basis_evals = evals
         return self.shape_basis, self.shape_basis_evals

@@ -1,10 +1,15 @@
 """GPE / RL analysis utilities.
 
 Capability parity with ``/root/reference/pde_opt/rl_utils.py`` (``density``
-:10-11, ``detect_vortices`` :19-84).  ``detect_vortices`` is split into a
-jit-friendly core (``vortex_winding`` — fixed shapes, usable inside jitted
-reward functions over env batches) and the host-side dict wrapper matching
-the reference's return surface.
+:10-11, ``detect_vortices`` :19-84), re-derived from the underlying lattice
+field theory rather than transcribed: phase winding is computed as the
+discrete curl of the *link phase field* ``arg(psi_ahead · conj(psi))``
+(the principal-valued phase carried by each lattice link — the standard
+lattice gauge construction), instead of wrapped finite differences of a
+precomputed angle grid.  ``detect_vortices`` splits into a jit-friendly
+fixed-shape core (``vortex_winding`` — usable inside jitted reward
+functions over env batches) and a host-side dict wrapper matching the
+reference's return surface.
 """
 
 from __future__ import annotations
@@ -14,54 +19,68 @@ import numpy as np
 
 __all__ = ["density", "vortex_winding", "detect_vortices"]
 
-_TWO_PI = 2.0 * jnp.pi
-
 
 def density(psi):
     return jnp.abs(psi) ** 2
 
 
-def _wrap_to_pi(x):
-    return (x + jnp.pi) % (2 * jnp.pi) - jnp.pi
+def _link_phase(psi, axis):
+    """Principal-valued phase carried by each +1 lattice link along ``axis``.
+
+    ``angle(z_ahead * conj(z))`` *is* the wrapped phase difference — the
+    complex product does the 2π-wrapping for free, so no modular
+    arithmetic is needed.
+    """
+    ahead = jnp.roll(psi, -1, axis=axis)
+    return jnp.angle(ahead * jnp.conj(psi))
 
 
 def vortex_winding(psi, amp_thresh: float = 0.0, tol: float = 0.5):
-    """Integer phase-winding per plaquette (jit/vmap-safe, fixed shapes).
+    """Integer phase winding per plaquette (jit/vmap-safe, fixed shapes).
 
-    Batch axes lead; the two trailing axes are the periodic grid.
+    Batch axes lead; the two trailing axes are the periodic grid.  The
+    plaquette circulation is the forward-difference curl of the link
+    field: ``d_x(link_y) − d_y(link_x)``; dividing by 2π gives the
+    winding number, which is integer up to float noise.
+
+    Args:
+        psi: complex field, spatial axes trailing.
+        amp_thresh: plaquettes whose mean corner density falls below this
+            are zeroed (suppresses spurious windings in the vacuum tail).
+        tol: |winding| below this (pre-rounding) is treated as noise.
     """
-    theta = jnp.angle(psi)
-    dth_x = _wrap_to_pi(jnp.roll(theta, -1, axis=-1) - theta)
-    dth_y = _wrap_to_pi(jnp.roll(theta, -1, axis=-2) - theta)
-    circulation = (
-        dth_x + jnp.roll(dth_y, -1, axis=-1) - jnp.roll(dth_x, -1, axis=-2) - dth_y
-    )
-    n_float = circulation / _TWO_PI
-    n_int = jnp.rint(n_float).astype(jnp.int32)
-    n_int = jnp.where(jnp.abs(n_float) >= tol, n_int, 0)
+    lx = _link_phase(psi, -1)
+    ly = _link_phase(psi, -2)
+
+    def curl_term(field, axis):
+        return jnp.roll(field, -1, axis=axis) - field
+
+    circulation = curl_term(ly, -1) - curl_term(lx, -2)
+    w = circulation / (2.0 * jnp.pi)
+    winding = jnp.where(jnp.abs(w) >= tol,
+                        jnp.rint(w).astype(jnp.int32), 0)
     if amp_thresh > 0.0:
-        rho = jnp.abs(psi) ** 2
-        rho_cell = 0.25 * (
-            rho
-            + jnp.roll(rho, -1, axis=-2)
-            + jnp.roll(rho, -1, axis=-1)
-            + jnp.roll(rho, (-1, -1), axis=(-2, -1))
-        )
-        n_int = jnp.where(rho_cell >= amp_thresh, n_int, 0)
-    return n_int
+        rho = density(psi)
+        # Mean density over the plaquette's four corner sites.
+        corner_sum = rho
+        for shift in ((-1,), (-2,), (-1, -2)):
+            corner_sum = corner_sum + jnp.roll(
+                rho, (-1,) * len(shift), axis=shift)
+        winding = jnp.where(0.25 * corner_sum >= amp_thresh, winding, 0)
+    return winding
 
 
 def detect_vortices(psi, amp_thresh: float = 0.0, tol: float = 0.5):
     """Host-side vortex census with the reference's return dict surface."""
-    n_int = np.asarray(vortex_winding(psi, amp_thresh=amp_thresh, tol=tol))
-    idx = np.argwhere(n_int != 0)
-    charges = n_int[n_int != 0]
+    winding = np.asarray(vortex_winding(psi, amp_thresh=amp_thresh, tol=tol))
+    idx = np.argwhere(winding != 0)
+    charges = winding[winding != 0]
     positions = idx.astype(np.float32) + 0.5
     return {
-        "winding": n_int,
-        "positions": positions,
-        "charges": charges,
         "num_vortices": idx.shape[0],
+        "winding": winding,
         "total_topological_charge": int(charges.sum()),
+        "positions": positions,
         "abs_charge_count": int(np.abs(charges).sum()),
+        "charges": charges,
     }

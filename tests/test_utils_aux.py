@@ -95,3 +95,35 @@ def test_module_decorator_static_fields_in_jit_cache():
     t = Toy(jnp.array(2.0), 3)
     g = jax.grad(lambda m, x: m(x))(t, 1.0)
     np.testing.assert_allclose(float(g.w), 3.0)
+
+
+def test_vortex_winding_analytic_charges():
+    """A singly-quantized vortex at the grid center carries winding +1
+    exactly once; its conjugate carries −1; a vortex-free cloud carries
+    nothing (amplitude gating suppresses the vacuum tail)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pde_opt_tpu.utils.rl import detect_vortices, vortex_winding
+
+    N = 32
+    x = np.arange(N) - (N - 1) / 2
+    X, Y = np.meshgrid(x, x, indexing="xy")
+    r2 = X**2 + Y**2
+    env = np.exp(-r2 / (2 * 4.0**2)) * np.sqrt(r2 / (r2 + 2.0))
+    psi = jnp.asarray(env * np.exp(1j * np.arctan2(Y, X)))
+
+    census = detect_vortices(psi, amp_thresh=1e-4)
+    assert census["num_vortices"] == 1
+    assert census["total_topological_charge"] == 1
+
+    anti = detect_vortices(jnp.conj(psi), amp_thresh=1e-4)
+    assert anti["total_topological_charge"] == -1
+
+    plain = jnp.asarray(np.exp(-r2 / (2 * 4.0**2)) + 0j)
+    assert int(np.abs(np.asarray(vortex_winding(plain, amp_thresh=1e-4))).sum()) == 0
+
+    # Batch axes lead: the batched call matches per-element calls.
+    batch = jnp.stack([psi, jnp.conj(psi)])
+    w = np.asarray(vortex_winding(batch, amp_thresh=1e-4))
+    np.testing.assert_array_equal(w[0], np.asarray(vortex_winding(psi, amp_thresh=1e-4)))
+    np.testing.assert_array_equal(w[1], np.asarray(vortex_winding(jnp.conj(psi), amp_thresh=1e-4)))
