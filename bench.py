@@ -360,6 +360,75 @@ def run_ch3d():
     return out or None
 
 
+def run_ch3d_mobility():
+    """The reference's 3D training workload shape — 32³ CH with Legendre
+    chemical potential AND Legendre mobility (D(c) != 1, so none of the
+    unit-mobility fused macros apply): XLA-rfft SIF path vs the
+    general-mobility cas macro (roll-stencil flux rhs + cas implicit
+    solve, ops/cas_mobility.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pde_opt_tpu.grid import Domain
+    from pde_opt_tpu.models.cahn_hilliard import CahnHilliard3DPeriodic
+    from pde_opt_tpu.models.functions import (
+        ChemicalPotentialLegendrePolynomials,
+        DiffusionLegendrePolynomials,
+    )
+    from pde_opt_tpu.ops.cas_mobility import make_ch3d_mobility_cas_macro
+    from pde_opt_tpu.ops.integrate import evolve
+    from pde_opt_tpu.ops.steppers import SemiImplicitFourierSpectral
+    from pde_opt_tpu.utils.compat import prepare_solver_params
+
+    B, N = 256, 32
+    L = 0.01 * N
+    mu_fn = ChemicalPotentialLegendrePolynomials(jnp.array([0.0, 1.0, 0.5]))
+    D_fn = DiffusionLegendrePolynomials(jnp.array([0.3, 0.2]))
+    domain = Domain((N, N, N), ((-L / 2, L / 2),) * 3, "dimensionless")
+    eq = CahnHilliard3DPeriodic(domain, 0.002, mu_fn, D_fn, derivs="fd")
+    solver = SemiImplicitFourierSpectral(
+        **prepare_solver_params(SemiImplicitFourierSpectral, {"A": 0.5}, eq)
+    )
+    n_sub = 50
+    h = L / N
+    dt = 2.5e-4
+    macro = make_ch3d_mobility_cas_macro(mu_fn, D_fn, N, N, N, h, h, h,
+                                         0.5, dt, n_sub)
+
+    fft_run = jax.jit(lambda y: evolve(solver, eq.rhs, y, 0.0, dt, n_sub))
+    cas_run = jax.jit(lambda y: macro(y, 0.002))
+
+    def rate(run, runs):
+        y = jnp.clip(
+            0.5 + 0.01 * jax.random.normal(jax.random.PRNGKey(41),
+                                           (B, N, N, N), jnp.float32),
+            0.0, 1.0,
+        )
+        y = run(y)
+        _ = float(jnp.sum(y))
+        t0 = time.perf_counter()
+        for _i in range(runs):
+            y = run(y)
+        _ = float(jnp.sum(y))
+        elapsed = time.perf_counter() - t0
+        if not bool(jnp.isfinite(y).all()):
+            return None
+        return B * n_sub * runs / elapsed
+
+    out = {}
+    r = rate(fft_run, 3)
+    if r:
+        out["fft_field_substeps_per_s"] = round(r, 1)
+    r = rate(cas_run, 10)
+    if r:
+        out["cas_field_substeps_per_s"] = round(r, 1)
+    if len(out) == 2:
+        out["cas_vs_fft_speedup"] = round(
+            out["cas_field_substeps_per_s"] / out["fft_field_substeps_per_s"],
+            2)
+    return out or None
+
+
 def run_ppo():
     """End-to-end PPO training rate: one jitted update = 64-step rollout
     over the fused 4096-env fleet + GAE + 2 epochs x 4 minibatches of
@@ -490,6 +559,7 @@ CONFIG_REGISTRY = {
     "ppo_64x64_4096envs": (run_ppo, 330),
     "train_grad_64x64_1024envs": (run_train_grad, 240),
     "ch3d_32cubed_256batch_substeps": (run_ch3d, 240),
+    "ch3d_mobility_32cubed_256batch": (run_ch3d_mobility, 240),
     "gpe_strang_64x64_1024envs": (run_gpe64, 200),
     "ac_64x64_4096envs_fused": (run_ac64, 150),
     "ch_128x128_1024envs": (run_ch128, 150),
@@ -499,6 +569,9 @@ CONFIG_REGISTRY = {
 
 
 def _child_main(name):
+    # Persistent compilation cache: each config child compiles from scratch
+    # otherwise.  Harmless if the backend ignores it.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     fn, _cap = CONFIG_REGISTRY[name]
     data = fn()
     print(json.dumps({"config": name, "ok": data is not None, "data": data}),
@@ -589,7 +662,10 @@ def main():
             if time.perf_counter() - t0 > BUDGET_S:
                 configs[name] = {"skipped": "budget"}
                 continue
+            tc = time.perf_counter()
             _ok, data = _run_child(name, min(cap, max(10.0, remaining())))
+            if isinstance(data, dict):
+                data = {**data, "elapsed_s": round(time.perf_counter() - tc, 1)}
             configs[name] = data
 
         # Merge the three BV subprocesses into the historical record shape.

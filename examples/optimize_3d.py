@@ -7,7 +7,14 @@ recover their Legendre coefficients by Levenberg-Marquardt through the
 rollout.  Runs on TPU (f32) or CPU (x64); the whole batch of observation
 windows integrates as one natively-batched scan.
 
-Usage: python examples/optimize_3d.py [--jit-lm]
+Usage: python examples/optimize_3d.py [--jit-lm] [--fused]
+
+``--fused`` swaps the XLA-rfft semi-implicit stepper for
+:class:`pde_opt_tpu.ops.steppers.FusedMobilitySpectral` — the
+general-mobility cas-matmul fast path (no FFTs; measured ~10x+ the rfft
+path at 256x32^3 on v5e, see bench.py ``ch3d_mobility``).  Same scheme
+order, FD-consistent symbol; gradients flow natively through the fused
+macro, so LM training runs on the fast path too.
 """
 
 import sys
@@ -29,8 +36,13 @@ def main():
     N = 32
     L = 0.01 * N
     domain = p.Domain((N, N, N), ((-L / 2, L / 2),) * 3)
-    model = p.PDEModel(CahnHilliard3DPeriodic, domain,
-                       p.SemiImplicitFourierSpectral)
+    if "--fused" in sys.argv:
+        from pde_opt_tpu.ops.steppers import FusedMobilitySpectral
+
+        solver_type = FusedMobilitySpectral
+    else:
+        solver_type = p.SemiImplicitFourierSpectral
+    model = p.PDEModel(CahnHilliard3DPeriodic, domain, solver_type)
 
     true_mu = ChemicalPotentialLegendrePolynomials(jnp.array([0.0, 1.0, 0.5]))
     true_D = DiffusionLegendrePolynomials(jnp.array([0.3, 0.2]))

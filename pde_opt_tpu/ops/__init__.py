@@ -8,8 +8,10 @@ from .steppers import (
     Tsit5,
     SemiImplicitFourierSpectral,
     FusedSemiImplicitSpectral,
+    FusedMobilitySpectral,
     FusedAllenCahnSpectral,
     FusedButlerVolmer,
+    FusedSBMButlerVolmer,
     FusedStrangControl,
     StrangSplitting,
     DirectionalSplitting,
@@ -27,8 +29,10 @@ __all__ = [
     "Tsit5",
     "SemiImplicitFourierSpectral",
     "FusedSemiImplicitSpectral",
+    "FusedMobilitySpectral",
     "FusedAllenCahnSpectral",
     "FusedButlerVolmer",
+    "FusedSBMButlerVolmer",
     "FusedStrangControl",
     "StrangSplitting",
     "DirectionalSplitting",

@@ -156,18 +156,30 @@ def make_sbm_bv_fused_macro(
             )
             return j * (inv_em / y - em * y)
 
-        for _ in range(n_steps):
-            k1 = rhs(u)
-            k2 = rhs(u + (0.5 * dt_f) * k1)
-            k3 = rhs(u + (0.5 * dt_f) * k2)
-            k4 = rhs(u + dt_f * k3)
-            u = u + (dt_f / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        def rk4(z):
+            k1 = rhs(z)
+            k2 = rhs(z + (0.5 * dt_f) * k1)
+            k3 = rhs(z + (0.5 * dt_f) * k2)
+            k4 = rhs(z + dt_f * k3)
+            return z + (dt_f / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+        # Unroll short macro-steps (the preset range the VMEM heuristic in
+        # _pick_block was sized for); past 16 substeps a fori_loop keeps
+        # compile time and live-buffer count bounded.
+        if n_steps <= 16:
+            for _ in range(n_steps):
+                u = rk4(u)
+        else:
+            u = jax.lax.fori_loop(0, n_steps, lambda _i, z: rk4(z), u)
 
         out_ref[:] = u.astype(out_ref.dtype)
 
     def _run(x, crate_b):
         B = x.shape[0]
-        bb = block_envs or _pick_block(H, W)
+        # Cap the block at the next power of two >= B so a small/debug
+        # fleet is not padded up to the full VMEM-derived block.
+        bb = block_envs or min(_pick_block(H, W),
+                               1 << max(0, B - 1).bit_length())
         Bp = -(-B // bb) * bb
         if Bp != B:
             reps = Bp - B

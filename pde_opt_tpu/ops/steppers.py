@@ -33,8 +33,10 @@ __all__ = [
     "SemiImplicitDenseSolve",
     "FusedSemiImplicitSpectral",
     "FusedSemiImplicitSpectral3D",
+    "FusedMobilitySpectral",
     "FusedAllenCahnSpectral",
     "FusedButlerVolmer",
+    "FusedSBMButlerVolmer",
     "FusedStrangControl",
     "StrangSplitting",
     "DirectionalSplitting",
@@ -500,6 +502,75 @@ class FusedSemiImplicitSpectral3D(AbstractStepper):
             self.A, float(dt), int(n_steps), **kwargs,
         )
         kappa = _normalize_per_env_control(self.kappa, y0.shape[:-3], "kappa")
+        return macro(y0, kappa)
+
+    def step(self, rhs, y, t, dt):
+        return self.evolve(rhs, y, t, dt, 1), None
+
+
+class FusedMobilitySpectral(AbstractStepper):
+    """Whole-segment semi-implicit CH stepper for GENERAL mobility D(c).
+
+    The fast path for concentration-dependent mobility (the reference's 3D
+    training workload: Legendre D and mu,
+    ``/root/reference/docs/notebooks/optimization_3D.ipynb`` cell 4) —
+    every other fused CH stepper here requires ``D == 1``.  Per substep the
+    conservative face-flux rhs ``div(D_face·grad(mu − κ∇²u))`` is pure VPU
+    roll arithmetic and the stabilized implicit solve is ONE forward + ONE
+    inverse cas transform on the MXU (4 matmuls in 2D, 6 in 3D; no FFTs) —
+    see :mod:`pde_opt_tpu.ops.cas_mobility`.  Rank is dispatched from the
+    domain (2D and 3D).  Natively differentiable w.r.t. the field, per-env
+    ``kappa``, and any learnable parameters inside ``mu``/``D``.
+
+    ``stab_scale``: multiplies the implicit κλ² shift (set ≈ max D(c) when
+    the mobility is large — the reference scheme stabilizes with the bare
+    κλ² symbol, which assumes O(1) mobility).
+    """
+
+    required_equation_attrs = ("kappa", "mu", "D", "domain")
+    order = 1
+
+    def __init__(self, kappa, mu, D, domain, A: float = 1.0,
+                 stab_scale: float = 1.0, mats_dtype=None):
+        self.kappa = kappa
+        self.mu = mu
+        self.D = D
+        self.domain = domain
+        self.A = float(A)
+        self.stab_scale = float(stab_scale)
+        self.mats_dtype = mats_dtype
+
+    def evolve(self, rhs, y0, t0, dt, n_steps, unroll=1):
+        del rhs, t0, unroll
+        if isinstance(dt, jax.core.Tracer):
+            raise TypeError(
+                "FusedMobilitySpectral requires trace-time concrete dt"
+            )
+        from . import cas_mobility as cm
+
+        pts = tuple(self.domain.points)
+        dxs = tuple(float(h) for h in self.domain.dx)
+        kwargs = {"stab_scale": self.stab_scale}
+        if self.mats_dtype is not None:
+            kwargs["mats_dtype"] = self.mats_dtype
+        if len(pts) == 2:
+            macro = cm.make_ch_mobility_cas_macro(
+                self.mu, self.D, *pts, *dxs, self.A, float(dt),
+                int(n_steps), **kwargs,
+            )
+            ndim = 2
+        elif len(pts) == 3:
+            macro = cm.make_ch3d_mobility_cas_macro(
+                self.mu, self.D, *pts, *dxs, self.A, float(dt),
+                int(n_steps), **kwargs,
+            )
+            ndim = 3
+        else:
+            raise ValueError(
+                f"FusedMobilitySpectral supports 2D/3D domains, got {pts}"
+            )
+        kappa = _normalize_per_env_control(
+            self.kappa, y0.shape[:-ndim], "kappa")
         return macro(y0, kappa)
 
     def step(self, rhs, y, t, dt):

@@ -55,7 +55,9 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
+# Real timeout protection is the communicate(timeout=240) below (which
+# kills both workers on expiry) — pytest-timeout is not installed in the
+# image, so a timeout mark would be a silent no-op.
 def test_two_process_distributed_init_and_collective(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = tmp_path / "worker.py"
