@@ -257,15 +257,18 @@ def run_gpe64():
 
 
 def run_gpe_rot():
-    """Rotating-frame GPE via DirectionalSplitting: batched imaginary-time
-    field-substeps/s at 64², plus a vortex census of the rotating ground
-    state (the capability the reference defines but ships no solver for)."""
+    """Rotating-frame GPE at 64²: batched imaginary-time field-substeps/s
+    on the FFT DirectionalSplitting path vs the matmul ADI macro
+    (ops/gpe_rot_fast.py — precomputed per-line propagators on the MXU),
+    plus a vortex census of the rotating ground state and the stirring
+    control-fleet rollout rate (the 6th env family)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from pde_opt_tpu.grid import Domain
     from pde_opt_tpu.models.gross_pitaevskii import GPE2DTSRot
+    from pde_opt_tpu.ops.gpe_rot_fast import make_rot_adi_macro
     from pde_opt_tpu.ops.integrate import evolve
     from pde_opt_tpu.ops.steppers import DirectionalSplitting
     from pde_opt_tpu.utils import density, initialize_Psi
@@ -276,6 +279,8 @@ def run_gpe_rot():
     eq = GPE2DTSRot(domain, 500.0, 0.0, 0.9)
     stepper = DirectionalSplitting(eq.A_terms, eq.B_terms, domain.dx[0],
                                    time_scale=-1j)
+    macro = make_rot_adi_macro(eq.A_terms, eq.B_terms, float(domain.dx[0]),
+                               N, N, dt, n_sub, time_scale=-1j)
 
     # Everything complex-valued must run under jit: the axon relay's eager
     # path is UNIMPLEMENTED for complex ops (incl. iota/abs at setup time).
@@ -287,22 +292,41 @@ def run_gpe_rot():
 
     fetch_abs_sum = jax.jit(lambda y: jnp.sum(jnp.abs(y)))
 
-    run = jax.jit(lambda y: evolve(stepper, lambda s, t: s, y, 0.0, dt, n_sub))
-    y = run(build())
-    _ = float(fetch_abs_sum(y))
-    t0 = time.perf_counter()
-    runs = 10
-    for _i in range(runs):
-        y = run(y)
-    _ = float(fetch_abs_sum(y))
-    dtime = time.perf_counter() - t0
-    if not bool(jax.jit(lambda y: jnp.isfinite(y.real).all())(y)):
-        return None
-    thresh = 0.05 * float(jax.jit(lambda y: jnp.max(jnp.abs(y[0])))(y))
-    n_int = np.asarray(jax.device_get(
-        jax.jit(lambda y: vortex_winding(y[0], amp_thresh=thresh))(y)))
-    return {"field_substeps_per_s": round(B * n_sub * runs / dtime, 1),
-            "num_vortices": int((n_int != 0).sum())}
+    def rate(run, runs):
+        y = run(build())
+        _ = float(fetch_abs_sum(y))
+        t0 = time.perf_counter()
+        for _i in range(runs):
+            y = run(y)
+        _ = float(fetch_abs_sum(y))
+        elapsed = time.perf_counter() - t0
+        if not bool(jax.jit(lambda y: jnp.isfinite(y.real).all())(y)):
+            return None, y
+        return B * n_sub * runs / elapsed, y
+
+    fft_rate, _ = rate(
+        jax.jit(lambda y: evolve(stepper, lambda s, t: s, y, 0.0, dt, n_sub)),
+        5)
+    fast_rate, y = rate(jax.jit(lambda y: macro(y)), 10)
+    out = {}
+    if fft_rate:
+        out["fft_field_substeps_per_s"] = round(fft_rate, 1)
+    if fast_rate:
+        out["matmul_field_substeps_per_s"] = round(fast_rate, 1)
+        thresh = 0.05 * float(jax.jit(lambda y: jnp.max(jnp.abs(y[0])))(y))
+        n_int = np.asarray(jax.device_get(
+            jax.jit(lambda y: vortex_winding(y[0], amp_thresh=thresh))(y)))
+        out["num_vortices"] = int((n_int != 0).sum())
+
+    # Stirring control fleet (make_gpe_rot_control_env, fused stepper).
+    from pde_opt_tpu.envs import make_gpe_rot_control_env
+
+    env = make_gpe_rot_control_env(num_envs=1024, grid_size=GRID,
+                                   substeps=SUBSTEPS)
+    env_rate, _ = _rollout_rate(env, 1024, 40, key0=95)
+    if env_rate:
+        out["env_steps_per_s"] = round(env_rate, 1)
+    return out or None
 
 
 def run_ch3d():

@@ -7,6 +7,7 @@ from .presets import (
     make_butler_volmer_control_env,
     make_cahn_hilliard_control_env,
     make_gpe_control_env,
+    make_gpe_rot_control_env,
     make_sbm_butler_volmer_control_env,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "make_butler_volmer_control_env",
     "make_cahn_hilliard_control_env",
     "make_gpe_control_env",
+    "make_gpe_rot_control_env",
     "make_sbm_butler_volmer_control_env",
 ]

@@ -204,12 +204,41 @@ class VectorPDEEnv:
         )
         return state, self.state_to_observation_func(state.y)
 
+    def _check_control_batch(self, new_cv, B):
+        """Trace-time contract check on ``update_control_value`` output.
+
+        On the vectorized (no-vmap) path a mis-broadcast control — e.g.
+        ``old + off`` instead of ``old + off[..., 0]`` producing ``(B, B)``
+        — would silently GROW the state batch through broadcasting on
+        steppers that do their own broadcasting (the fused steppers
+        validate their inputs; the generic XLA steppers cannot).  Enforce
+        the same contract here for every stepper path: each control-value
+        leaf must be a scalar or ``(B,)`` plus trailing singleton axes.
+        ``B`` is the leading dim of the state actually being advanced (a
+        per-device shard under ``shard_map`` — not ``self.num_envs``).
+        """
+        for leaf in jax.tree_util.tree_leaves(new_cv):
+            shape = jnp.shape(leaf)
+            ok = shape == () or (
+                len(shape) >= 1 and shape[0] == B
+                and all(s == 1 for s in shape[1:])
+            )
+            if not ok:
+                raise ValueError(
+                    f"update_control_value produced shape {shape}, which "
+                    f"does not fit the per-env control contract: scalar or "
+                    f"({B},) plus trailing singleton axes.  A common cause "
+                    "is broadcasting the raw (B, k) action offset against "
+                    "the (B,) control (use off[..., 0])."
+                )
+
     def _advance_batched(self, y, cv, actions):
         """Whole-fleet macro-step through one batch-transparent equation."""
         offset = actions
         if self.action_type == "discrete":
             offset = self._action_table[actions]
         new_cv = self.update_control_value(offset, cv)
+        self._check_control_batch(new_cv, y.shape[0])
         control_param = self.update_control_parameter(cv, new_cv)
         eq = self.equation_type(
             domain=self.domain,
@@ -222,6 +251,12 @@ class VectorPDEEnv:
             **prepare_solver_params(self.solver_type, self.solver_parameters, eq)
         )
         y1 = evolve(solver, eq.rhs, y, 0.0, self.dt_sub, self.n_substeps)
+        if y1.shape != y.shape:
+            raise ValueError(
+                f"macro-step changed the state shape {y.shape} -> "
+                f"{y1.shape}: a control parameter broadcast against the "
+                "fleet (check update_control_parameter's output shape)"
+            )
         return y1, new_cv
 
     def _step_impl(self, state: EnvState, actions):

@@ -107,13 +107,31 @@ class GPE2DTSRot(TimeSplittingEquation):
 
     The rotating-frame split is per-direction (ADI-style): ``A_terms`` returns
     the x- and y-sweep symbols separately, each diagonalizable by a 1D FFT.
+
+    ``lights(t, x, y)`` (optional) is an extra pointwise control potential —
+    in the rotating frame a static spot is a co-rotating stirrer; the RL
+    preset (:func:`pde_opt_tpu.envs.presets.make_gpe_rot_control_env`)
+    rebuilds it per macro-step from the traced per-env control, exactly as
+    ``GPE2DTSControl`` does.  It enters ``B_terms`` only, so the
+    precomputed ADI sweep matrices of the fused stepper stay static.
     """
 
-    def __init__(self, domain: Domain, k, e, omega):
+    # Class-level placeholders so solver-compat checks (which inspect the
+    # class) see the attrs the steppers pull off instances.
+    dx = None
+    lights = None
+    domain = None
+    k = None
+    e = None
+    omega = None
+
+    def __init__(self, domain: Domain, k, e, omega, lights: Callable = None):
         self.domain = domain
         self.k = k
         self.e = e
         self.omega = omega
+        self.lights = lights
+        self.dx = domain.dx[0]
 
         # Constants are kept REAL; complex values are formed in-trace by jnp
         # ops.  Embedding complex numpy arrays as jit constants requires a
@@ -138,7 +156,11 @@ class GPE2DTSRot(TimeSplittingEquation):
         trap = jnp.asarray(
             (1 + self.e) * self.xmesh**2 + (1 - self.e) * self.ymesh**2
         )
-        return -0.5j * trap - self.k * 1j * (jnp.abs(state) ** 2)
+        b = -0.5j * trap - self.k * 1j * (jnp.abs(state) ** 2)
+        if self.lights is not None:
+            b = b - 1j * self.lights(t, jnp.asarray(self.xmesh),
+                                     jnp.asarray(self.ymesh))
+        return b
 
     def rhs(self, state, t):
         raise NotImplementedError(

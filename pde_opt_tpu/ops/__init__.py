@@ -15,6 +15,7 @@ from .steppers import (
     FusedStrangControl,
     StrangSplitting,
     DirectionalSplitting,
+    FusedRotatingSplitting,
     ImplicitEuler,
 )
 from .integrate import evolve, integrate, integrate_adaptive
@@ -36,6 +37,7 @@ __all__ = [
     "FusedStrangControl",
     "StrangSplitting",
     "DirectionalSplitting",
+    "FusedRotatingSplitting",
     "ImplicitEuler",
     "evolve",
     "integrate",

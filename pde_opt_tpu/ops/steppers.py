@@ -40,6 +40,7 @@ __all__ = [
     "FusedStrangControl",
     "StrangSplitting",
     "DirectionalSplitting",
+    "FusedRotatingSplitting",
     "ImplicitEuler",
 ]
 
@@ -839,6 +840,58 @@ class DirectionalSplitting(AbstractStepper):
             and self.time_scale == other.time_scale
             and self.dx == other.dx
         )
+
+
+class FusedRotatingSplitting(AbstractStepper):
+    """Whole-segment matmul ADI stepper for the rotating-frame GPE.
+
+    MXU fast path for :class:`DirectionalSplitting`: each directional sweep
+    is a precomputed per-grid-line dense propagator applied as one batched
+    contraction (4 real matmuls) instead of a 1D FFT pair — small-batch 1D
+    FFTs being the TPU's weakest primitive — and consecutive Strang
+    half-sweeps merge across the segment (3 sweeps per inner substep, see
+    :mod:`pde_opt_tpu.ops.gpe_rot_fast`).  ``A_terms`` must be static
+    (trap/rotation constants — evaluated once at trace time); ``B_terms``
+    may close over traced per-env controls (the RL env hook).  Semantics
+    match :class:`DirectionalSplitting` in exact arithmetic
+    (``tests/test_gpe_rot_fast.py``).
+    """
+
+    required_equation_attrs = ("A_terms", "B_terms", "dx")
+    order = 2
+
+    def __init__(self, A_terms, B_terms, dx, time_scale=1.0, normalize=None,
+                 mats_dtype=None):
+        self.A_terms = A_terms
+        self.B_terms = B_terms
+        self.dx = dx
+        self.time_scale = time_scale
+        if normalize is None:
+            normalize = complex(time_scale).imag != 0.0
+        self.normalize = normalize
+        self.mats_dtype = mats_dtype
+
+    def evolve(self, rhs, y0, t0, dt, n_steps, unroll=1):
+        del rhs, unroll
+        if isinstance(dt, jax.core.Tracer):
+            raise TypeError(
+                "FusedRotatingSplitting requires trace-time concrete dt"
+            )
+        from .gpe_rot_fast import make_rot_adi_macro
+
+        H, W = y0.shape[-2:]
+        kwargs = {}
+        if self.mats_dtype is not None:
+            kwargs["mats_dtype"] = self.mats_dtype
+        macro = make_rot_adi_macro(
+            self.A_terms, self.B_terms, float(self.dx), H, W, float(dt),
+            int(n_steps), time_scale=self.time_scale,
+            normalize=self.normalize, **kwargs,
+        )
+        return macro(y0, t0)
+
+    def step(self, rhs, y, t, dt):
+        return self.evolve(rhs, y, t, dt, 1), None
 
 
 class ImplicitEuler(AbstractStepper):

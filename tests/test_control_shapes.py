@@ -139,3 +139,56 @@ def test_fused_3d_control_shapes():
         out = make(ctrl).evolve(None, y0, 0.0, 1e-4, 2)
         assert out.shape == y0.shape
         np.testing.assert_array_equal(np.asarray(out), np.asarray(baseline))
+
+
+# ---------------------------------------------------------------------------
+# Env-layer contract (VERDICT r3 weak-8): mis-shaped update_control_value
+# outputs must fail loudly on EVERY stepper path, including the generic XLA
+# steppers that do their own broadcasting.
+# ---------------------------------------------------------------------------
+
+
+def _bad_env(update_value, spectral_solve="fft", update_param=None):
+    from pde_opt_tpu.envs.presets import make_cahn_hilliard_control_env
+
+    env = make_cahn_hilliard_control_env(
+        num_envs=4, grid_size=16, substeps=2, spectral_solve=spectral_solve,
+        derivs="fd",
+    )
+    if update_value is not None:
+        env.update_control_value = update_value
+    if update_param is not None:
+        env.update_control_parameter = update_param
+    # Re-jit with the mutated hooks (the constructor jitted the originals).
+    env._step = jax.jit(env._step_impl, donate_argnums=(0,))
+    return env
+
+
+@pytest.mark.parametrize("bad_shape", [(4, 4), (4, 2), (1, 4)])
+def test_env_rejects_misbroadcast_control_value_on_xla_path(bad_shape):
+    env = _bad_env(lambda off, old: jnp.zeros(bad_shape) + 0.004)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="per-env control contract"):
+        env.step(state, jnp.zeros((4, 1)))
+
+
+def test_env_rejects_state_growing_control_param():
+    # (B,) value passes the value check, but a (1, B, 1, 1) equation
+    # parameter would grow the fleet through broadcasting.  The per-substep
+    # scan carry check catches it inside ``evolve`` (TypeError); the env's
+    # state-shape guard backstops whole-segment steppers that bypass the
+    # scan (ValueError).  Either way: loud, at trace time.
+    env = _bad_env(None,
+                   update_param=lambda old, new: new[None, :, None, None])
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    with pytest.raises((ValueError, TypeError),
+                       match="changed the state shape|carry"):
+        env.step(state, jnp.zeros((4, 1)))
+
+
+def test_env_accepts_contract_shapes_on_both_paths():
+    for solve in ("fft", "fused"):
+        env = _bad_env(None, spectral_solve=solve)
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        state, obs, r, term, trunc, info = env.step(state, jnp.zeros((4, 1)))
+        assert bool(jnp.isfinite(r).all())
