@@ -256,6 +256,12 @@ def integrate_adaptive(
         (t, y, dt, save_idx, n_acc, n_rej), buf = carry
         dt = jnp.minimum(dt, t_final - t)
         y1, y_err = stepper.step(rhs, y, t, dt)
+        # Pin the carry dtype (same invariant as evolve()): x64 test mode
+        # can promote through the rhs, which would change the while_loop
+        # carry type mid-trace on f32/bf16 states.
+        y1 = jax.tree_util.tree_map(
+            lambda a, b: a.astype(b.dtype), y1, y
+        )
         err_norm = _rms_norm(y_err, y, y1, rtol, atol, batch_ndim)
         accept = err_norm <= 1.0
 

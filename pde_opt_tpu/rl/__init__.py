@@ -10,7 +10,9 @@ advantage estimation, and updates in one device program.  The pathwise
 
 from .nets import (
     ActorCriticConv,
+    ActorCriticMLP,
     ConvTorso,
+    FlatMLPTorso,
     DeterministicActorConv,
     Linear,
     MLP,
@@ -22,7 +24,8 @@ from .dqn import DQNConfig, ReplayState, init_replay, make_dqn_train_step, dqn_t
 from .ddpg import DDPGConfig, DDPGState, make_ddpg_train_step, ddpg_train
 
 __all__ = [
-    "ActorCriticConv", "ConvTorso", "DeterministicActorConv", "Linear",
+    "ActorCriticConv", "ActorCriticMLP", "ConvTorso", "FlatMLPTorso",
+    "DeterministicActorConv", "Linear",
     "MLP", "QCriticConv", "QNetConv",
     "PPOConfig", "gae", "make_ppo_train_step", "ppo_train",
     "DQNConfig", "ReplayState", "init_replay", "make_dqn_train_step",

@@ -164,6 +164,80 @@ class ActorCriticConv:
         return (self.pi_head(feat), self.log_std), v
 
 
+@module(data_fields=("layers",), static_fields=("act", "compute_dtype"))
+class FlatMLPTorso:
+    """Flatten the observation and run a dense stack (MXU fast path).
+
+    For the small downsampled observations the control envs emit (e.g. the
+    4x-pooled 16² fields of the PPO bench config), a flattened dense stack
+    is the TPU-native feature extractor: the first layer is a depth-256
+    matmul at full MXU contraction depth, whereas a conv torso's first
+    layer contracts only ``C_in·k² = 9`` of the MXU's 128 lanes (the
+    measured learner bottleneck — see docs/performance.md §PPO).  Global
+    statistics rewards (variance, ψ-weighted uniformity, L_z) don't need
+    translation equivariance, so the learning-gated tests pass with either
+    torso.
+    """
+
+    def __init__(self, in_features: int, widths: Sequence[int],
+                 features: int, act=jax.nn.gelu, compute_dtype=None, *, key):
+        sizes = (in_features, *widths, features)
+        keys = jax.random.split(key, len(sizes) - 1)
+        self.layers = tuple(
+            Linear(a, b, key=k)
+            for a, b, k in zip(sizes[:-1], sizes[1:], keys)
+        )
+        self.act = act
+        self.compute_dtype = compute_dtype
+
+    def __call__(self, obs):
+        """obs: (..., C, H, W) or (..., F) uint8/float -> (..., features)."""
+        x = obs.astype(jnp.float32)
+        if obs.dtype == jnp.uint8:
+            x = x / 255.0
+        in_f = self.layers[0].w.shape[1]
+        if x.ndim >= 3 and x.shape[-3] * x.shape[-2] * x.shape[-1] == in_f:
+            x = x.reshape(x.shape[:-3] + (in_f,))
+        cd = self.compute_dtype or jnp.float32
+        for layer in self.layers:
+            x = self.act(x.astype(cd) @ layer.w.T.astype(cd)
+                         + layer.b.astype(cd))
+        return x.astype(jnp.float32)
+
+
+@module(
+    data_fields=("torso", "pi_head", "v_head", "log_std"),
+    static_fields=("discrete",),
+)
+class ActorCriticMLP:
+    """Actor-critic over a :class:`FlatMLPTorso` (the TPU-native learner).
+
+    Same head structure and distribution contract as
+    :class:`ActorCriticConv`; swaps the conv torso for full-depth dense
+    matmuls.  ``in_features`` must equal the flattened observation size
+    (e.g. ``16*16`` for the 4x-downsampled flagship obs).
+    """
+
+    def __init__(self, action_dim: int, in_features: int, *,
+                 widths: Sequence[int] = (256,), features: int = 64,
+                 discrete: bool = False, compute_dtype=None, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        self.torso = FlatMLPTorso(in_features, widths, features,
+                                  compute_dtype=compute_dtype, key=k1)
+        self.pi_head = Linear(features, action_dim, key=k2)
+        self.v_head = Linear(features, 1, key=k3)
+        self.log_std = (jnp.zeros(()) if discrete
+                        else jnp.full((action_dim,), -0.5))
+        self.discrete = discrete
+
+    def __call__(self, obs):
+        feat = self.torso(obs)
+        v = self.v_head(feat)[..., 0]
+        if self.discrete:
+            return self.pi_head(feat), v
+        return (self.pi_head(feat), self.log_std), v
+
+
 @module(data_fields=("torso", "a_head", "scale"), static_fields=())
 class DeterministicActorConv:
     """Deterministic policy for DDPG: ``obs -> scale * tanh(head(torso))``."""
