@@ -456,15 +456,19 @@ def run_ch3d_mobility():
 def run_ppo():
     """End-to-end PPO training rate: one jitted update = 64-step rollout
     over the fused 4096-env fleet + GAE + 2 epochs x 4 minibatches of
-    clipped-surrogate conv-policy updates.  Also reports the
-    physics:learner time split — the random-policy rollout of the SAME
-    env/obs config is the physics+obs floor; everything above it is the
-    learner."""
+    clipped-surrogate policy updates.  Also reports the physics:learner
+    time split — the random-policy rollout of the SAME env/obs config is
+    the physics+obs floor; everything above it is the learner.
+
+    Policy: the TPU-native ``ActorCriticMLP`` (flattened 16² obs through
+    full-depth dense matmuls — round 4's learner rework; the conv
+    policy's first layer contracts only 9 of the MXU's 128 lanes and was
+    the majority of the r3 learner share)."""
     import jax
     import jax.numpy as jnp
 
     from pde_opt_tpu.envs import make_cahn_hilliard_control_env
-    from pde_opt_tpu.rl import ActorCriticConv, PPOConfig, ppo_train
+    from pde_opt_tpu.rl import ActorCriticMLP, PPOConfig, ppo_train
 
     B = NUM_ENVS
     T = 64
@@ -472,9 +476,9 @@ def run_ppo():
         num_envs=B, grid_size=GRID, substeps=SUBSTEPS, derivs="pallas",
         vectorized_control=True, spectral_solve="fused", obs_downsample=4,
     )
-    net = ActorCriticConv(action_dim=1, channels=(16, 32), features=64,
-                          compute_dtype=jnp.bfloat16,
-                          key=jax.random.PRNGKey(70))
+    net = ActorCriticMLP(action_dim=1, in_features=16 * 16, widths=(256,),
+                         features=64, compute_dtype=jnp.bfloat16,
+                         key=jax.random.PRNGKey(70))
     cfg = PPOConfig(rollout_steps=T, epochs=2, minibatches=4, lr=3e-4)
     times = []
     ppo_train(env, net, cfg, num_updates=8, key=jax.random.PRNGKey(71),
@@ -486,7 +490,8 @@ def run_ppo():
     # Physics+obs floor: random-policy rollout of the same env, same T.
     phys_rate, _ = _rollout_rate(env, B, T, timed_runs=6, key0=72)
     out = {"trained_env_steps_per_s": round(T * B / dt, 1),
-           "update_ms": round(1e3 * dt, 1)}
+           "update_ms": round(1e3 * dt, 1),
+           "policy": "mlp256-bf16"}
     if phys_rate:
         phys_ms = 1e3 * T * B / phys_rate
         out["physics_ms"] = round(phys_ms, 1)

@@ -23,11 +23,16 @@ from pde_opt_tpu.rl import ActorCriticConv, PPOConfig, ppo_train
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env", type=str, default="ch",
-                    choices=["ch", "ac", "gpe", "bv"],
+                    choices=["ch", "ac", "gpe", "gpe_rot", "bv", "sbm_bv"],
                     help="fleet preset: Cahn-Hilliard (kappa control), "
                          "Allen-Cahn (kappa control), Gross-Pitaevskii "
-                         "(optical-spot control), or Butler-Volmer "
-                         "(C-rate charging control)")
+                         "(optical-spot control), rotating-frame GPE "
+                         "(vortex stirring), Butler-Volmer (C-rate "
+                         "charging), or smoothed-boundary BV charging")
+    ap.add_argument("--policy", type=str, default="conv",
+                    choices=["conv", "mlp"],
+                    help="conv torso (SB3 CnnPolicy parity) or the "
+                         "TPU-native flattened-MLP torso")
     ap.add_argument("--num-envs", type=int, default=256)
     ap.add_argument("--grid", type=int, default=64)
     ap.add_argument("--substeps", type=int, default=10)
@@ -59,6 +64,21 @@ def main():
             substeps=args.substeps,
             spectral_solve="fused" if on_tpu else "fft",
         )
+    elif args.env == "gpe_rot":
+        from pde_opt_tpu.envs import make_gpe_rot_control_env
+
+        env = make_gpe_rot_control_env(
+            num_envs=args.num_envs, grid_size=args.grid,
+            substeps=args.substeps,
+            spectral_solve="fused" if on_tpu else "fft",
+        )
+    elif args.env == "sbm_bv":
+        from pde_opt_tpu.envs import make_sbm_butler_volmer_control_env
+
+        env = make_sbm_butler_volmer_control_env(
+            num_envs=args.num_envs, grid_size=args.grid,
+            substeps=args.substeps,
+        )
     else:
         from pde_opt_tpu.envs import make_butler_volmer_control_env
 
@@ -66,8 +86,16 @@ def main():
             num_envs=args.num_envs, grid_size=args.grid,
             substeps=args.substeps,
         )
-    net = ActorCriticConv(action_dim=1, channels=(16, 32), features=64,
-                          key=jax.random.PRNGKey(0))
+    if args.policy == "mlp":
+        from pde_opt_tpu.rl import ActorCriticMLP
+
+        obs = env.reset(jax.random.PRNGKey(0))[1]
+        in_f = int(obs.shape[-3] * obs.shape[-2] * obs.shape[-1])
+        net = ActorCriticMLP(action_dim=1, in_features=in_f, widths=(256,),
+                             features=64, key=jax.random.PRNGKey(0))
+    else:
+        net = ActorCriticConv(action_dim=1, channels=(16, 32), features=64,
+                              key=jax.random.PRNGKey(0))
     cfg = PPOConfig(rollout_steps=args.rollout, lr=args.lr)
 
     t0 = time.time()
