@@ -410,14 +410,17 @@ def run_ch3d_mobility():
     D_fn = DiffusionLegendrePolynomials(jnp.array([0.3, 0.2]))
     domain = Domain((N, N, N), ((-L / 2, L / 2),) * 3, "dimensionless")
     eq = CahnHilliard3DPeriodic(domain, 0.002, mu_fn, D_fn, derivs="fd")
+    # A=1.0: the Legendre workload's non-unit mobility needs roughly twice
+    # the bare implicit shift for linear stability (dt-independent; see
+    # tests/test_cas_mobility.py stab_scale test) — same A on both paths.
     solver = SemiImplicitFourierSpectral(
-        **prepare_solver_params(SemiImplicitFourierSpectral, {"A": 0.5}, eq)
+        **prepare_solver_params(SemiImplicitFourierSpectral, {"A": 1.0}, eq)
     )
     n_sub = 50
     h = L / N
     dt = 2.5e-4
     macro = make_ch3d_mobility_cas_macro(mu_fn, D_fn, N, N, N, h, h, h,
-                                         0.5, dt, n_sub)
+                                         1.0, dt, n_sub)
 
     fft_run = jax.jit(lambda y: evolve(solver, eq.rhs, y, 0.0, dt, n_sub))
     cas_run = jax.jit(lambda y: macro(y, 0.002))

@@ -51,9 +51,25 @@ def _legendre_basis(v, degree: int):
 
 
 def legval(params, x, max_degree: int):
-    """Σ_n params[n]·P_n(x): coefficient contraction against the stacked basis."""
+    """Σ_n params[n]·P_n(x) by in-recurrence accumulation.
+
+    Each term is a scalar-weighted fused multiply-add — no stacked basis
+    tensor and no ``tensordot``, so the evaluation traces to pure
+    elementwise VPU ops and lowers inside Pallas kernels (Mosaic cannot
+    lower a rank-4 ``dot_general``; the fused CH rhs kernels trace
+    coefficient modules into their bodies)."""
     coeffs = jnp.asarray(params)[: max_degree + 1]
-    return jnp.tensordot(coeffs, _legendre_basis(x, max_degree), axes=1)
+    p_prev = jnp.ones_like(x)
+    acc = coeffs[0] * p_prev
+    if max_degree >= 1:
+        p_cur = x
+        acc = acc + coeffs[1] * p_cur
+        for n in range(1, max_degree):
+            p_prev, p_cur = p_cur, (
+                ((2 * n + 1) * x * p_cur - n * p_prev) / (n + 1)
+            )
+            acc = acc + coeffs[n + 1] * p_cur
+    return acc
 
 
 @module(data_fields=("params",), static_fields=("max_degree",))

@@ -24,9 +24,20 @@ count as the unit-mobility kernels.  FFTs (the TPU's weak spot) never
 appear.
 
 Everything is plain XLA (`lax.scan` over substeps, einsum contractions on
-the MXU), so the macro is **natively differentiable** w.r.t. the field,
-``kappa``, and any parameters closed over by ``mu_fn``/``D_fn`` (the
-learnable-function training path) — no custom VJP needed.
+the MXU), so the ``rhs_impl="xla"`` macro is **natively differentiable**
+w.r.t. the field, ``kappa``, and any parameters closed over by
+``mu_fn``/``D_fn`` (the learnable-function training path) — no custom VJP
+needed.
+
+``rhs_impl="pallas"`` (the default on TPU via ``"auto"``) swaps the XLA
+roll chain for the single-HBM-pass fused rhs kernel
+(:func:`pde_opt_tpu.ops.fused.make_ch_rhs_fd_fused` / its 3D analog) —
+the XLA rolls materialize ~15 HBM passes per substep and dominate the
+macro (measured 111k vs the kernel's ~400k+ field-substeps/s at 256×32³
+on v5e).  The Pallas path carries a custom VJP that recomputes through
+the XLA oracle, so gradients w.r.t. the state and ``kappa`` still flow;
+training *learnable mu/D parameters* requires ``rhs_impl="xla"`` (a
+closed-over tracer under the custom VJP fails loudly at trace time).
 
 With ``D ≡ 1`` the update is algebraically identical to the unit-mobility
 scheme (circular convolution: ``C[lap_roll(z)] = λ·C[z]`` exactly), which
@@ -50,6 +61,15 @@ __all__ = [
     "ch_mobility_macro_reference",
     "ch3d_mobility_macro_reference",
 ]
+
+
+def _resolve_rhs_impl(rhs_impl: str) -> bool:
+    """"auto" -> fused Pallas rhs on TPU, XLA rolls elsewhere."""
+    if rhs_impl == "auto":
+        return jax.default_backend() == "tpu"
+    if rhs_impl in ("pallas", "xla"):
+        return rhs_impl == "pallas"
+    raise ValueError(f"rhs_impl must be auto/pallas/xla, got {rhs_impl!r}")
 
 
 def _cas_mat(N: int) -> np.ndarray:
@@ -97,6 +117,7 @@ def make_ch_mobility_cas_macro(
     *,
     stab_scale: float = 1.0,
     mats_dtype=jnp.bfloat16,
+    rhs_impl: str = "auto",
 ):
     """Build ``macro(u, kappa) -> u1``: 2D general-mobility CH substeps.
 
@@ -139,6 +160,11 @@ def make_ch_mobility_cas_macro(
                else kap.reshape(B)).reshape(B, 1, 1)
         denom_dt = dt_f / (1.0 + A_dt * (kap * lam2_j[None]))
         rhs = _flux_div_rhs(mu_fn, D_fn, kap, (hx, hy), (-2, -1))
+        if use_pallas:
+            from .fused import make_ch_rhs_fd_fused
+
+            fused = make_ch_rhs_fd_fused(mu_fn, D_fn, hx, hy)
+            rhs = lambda uu: fused(uu, kap)
 
         def body(uu, _):
             incr = _apply(denom_dt * _apply(rhs(uu), F1, F2), I1, I2)
@@ -147,6 +173,15 @@ def make_ch_mobility_cas_macro(
         u1, _ = jax.lax.scan(body, u, None, length=n_steps)
         return u1.astype(state.dtype).reshape(*batch, H, W)
 
+    use_pallas = _resolve_rhs_impl(rhs_impl)
+    if use_pallas:
+        from .fused_spectral import _attach_oracle_vjp
+
+        oracle = make_ch_mobility_cas_macro(
+            mu_fn, D_fn, H, W, hx, hy, A, dt, n_steps,
+            stab_scale=stab_scale, mats_dtype=mats_dtype, rhs_impl="xla",
+        )
+        return _attach_oracle_vjp(macro, oracle)
     return macro
 
 
@@ -165,6 +200,7 @@ def make_ch3d_mobility_cas_macro(
     *,
     stab_scale: float = 1.0,
     mats_dtype=jnp.bfloat16,
+    rhs_impl: str = "auto",
 ):
     """3D analog of :func:`make_ch_mobility_cas_macro` (6 matmuls/substep)."""
     C1, C2, C3 = _cas_mat(N1), _cas_mat(N2), _cas_mat(N3)
@@ -204,6 +240,11 @@ def make_ch3d_mobility_cas_macro(
                else kap.reshape(B)).reshape(B, 1, 1, 1)
         denom_dt = dt_f / (1.0 + A_dt * (kap * lam2_j[None]))
         rhs = _flux_div_rhs(mu_fn, D_fn, kap, (h1, h2, h3), (-3, -2, -1))
+        if use_pallas:
+            from .fused import make_ch3d_rhs_fd_fused
+
+            fused = make_ch3d_rhs_fd_fused(mu_fn, D_fn, h1, h2, h3)
+            rhs = lambda uu: fused(uu, kap)
 
         def body(uu, _):
             incr = _apply(denom_dt * _apply(rhs(uu), *F), *I)
@@ -212,6 +253,15 @@ def make_ch3d_mobility_cas_macro(
         u1, _ = jax.lax.scan(body, u, None, length=n_steps)
         return u1.astype(state.dtype).reshape(*batch, N1, N2, N3)
 
+    use_pallas = _resolve_rhs_impl(rhs_impl)
+    if use_pallas:
+        from .fused_spectral import _attach_oracle_vjp
+
+        oracle = make_ch3d_mobility_cas_macro(
+            mu_fn, D_fn, N1, N2, N3, h1, h2, h3, A, dt, n_steps,
+            stab_scale=stab_scale, mats_dtype=mats_dtype, rhs_impl="xla",
+        )
+        return _attach_oracle_vjp(macro, oracle)
     return macro
 
 

@@ -158,3 +158,71 @@ def test_stepper_dispatches_rank_and_matches_macro():
     ref = ch_mobility_macro_reference(MU, D, h, h, 1.0, 1e-5, 4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref(u, kap)),
                                rtol=0, atol=1e-6)
+
+
+def test_2d_pallas_rhs_matches_xla_macro():
+    """rhs_impl='pallas' (fused single-pass rhs kernel, interpret mode on
+    CPU) must match the XLA-roll macro, and state/kappa grads must flow
+    through its oracle VJP."""
+    u = _u2d(B=3, N=16, seed=8)
+    h = 1.0 / 16
+    kap = jnp.linspace(2e-3, 6e-3, 3)
+    fast = make_ch_mobility_cas_macro(MU, D, 16, 16, h, h, 1.0, 1e-5, 4,
+                                      mats_dtype=jnp.float32,
+                                      rhs_impl="pallas")
+    ref = make_ch_mobility_cas_macro(MU, D, 16, 16, h, h, 1.0, 1e-5, 4,
+                                     mats_dtype=jnp.float32, rhs_impl="xla")
+    np.testing.assert_allclose(np.asarray(fast(u, kap)),
+                               np.asarray(ref(u, kap)), rtol=0, atol=2e-5)
+    gu_f, gk_f = jax.grad(lambda a, k: jnp.sum(fast(a, k) ** 2),
+                          argnums=(0, 1))(u, kap)
+    gu_r, gk_r = jax.grad(lambda a, k: jnp.sum(ref(a, k) ** 2),
+                          argnums=(0, 1))(u, kap)
+    np.testing.assert_allclose(np.asarray(gu_f), np.asarray(gu_r),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_r),
+                               rtol=1e-4, atol=1e-8)
+
+
+def test_3d_pallas_rhs_matches_xla_macro():
+    """The folded-lane 3D rhs kernel (z-rolls as two rotations + seam
+    mask) must match the XLA-roll macro bit-for-tolerance."""
+    rng = np.random.default_rng(9)
+    B, N = 2, 8
+    u = jnp.asarray(0.5 + 0.05 * rng.standard_normal((B, N, N, N)),
+                    jnp.float32)
+    h = 1.0 / N
+    kap = jnp.asarray([2e-3, 6e-3])
+    fast = make_ch3d_mobility_cas_macro(MU, D, N, N, N, h, h, h,
+                                        1.0, 1e-6, 4,
+                                        mats_dtype=jnp.float32,
+                                        rhs_impl="pallas")
+    ref = make_ch3d_mobility_cas_macro(MU, D, N, N, N, h, h, h,
+                                       1.0, 1e-6, 4,
+                                       mats_dtype=jnp.float32,
+                                       rhs_impl="xla")
+    np.testing.assert_allclose(np.asarray(fast(u, kap)),
+                               np.asarray(ref(u, kap)), rtol=0, atol=2e-5)
+
+
+def test_3d_fused_rhs_kernel_matches_model_rhs():
+    """The raw 3D fused rhs kernel vs CahnHilliard3DPeriodic.rhs_fd."""
+    from pde_opt_tpu.grid import Domain
+    from pde_opt_tpu.models.cahn_hilliard import CahnHilliard3DPeriodic
+    from pde_opt_tpu.ops.fused import make_ch3d_rhs_fd_fused
+
+    rng = np.random.default_rng(10)
+    B, N = 3, 8
+    u = jnp.asarray(0.5 + 0.05 * rng.standard_normal((B, N, N, N)),
+                    jnp.float32)
+    L = 0.08
+    h = L / N
+    domain = Domain((N, N, N), ((-L / 2, L / 2),) * 3, "dimensionless",
+                    dtype=jnp.float32)
+    eq = CahnHilliard3DPeriodic(domain, 3e-3, MU, D, derivs="fd")
+    fused = make_ch3d_rhs_fd_fused(MU, D, h, h, h, interpret=True)
+    ref = np.asarray(eq.rhs(u, 0.0), np.float64)
+    # rhs values scale like 1/h^4 (~3e6 here); compare at f32 resolution
+    # relative to the field's own magnitude.
+    np.testing.assert_allclose(np.asarray(fused(u, 3e-3), np.float64), ref,
+                               rtol=0, atol=1e-5 * np.abs(ref).max())
