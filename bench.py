@@ -483,12 +483,28 @@ def run_ppo():
                          features=64, compute_dtype=jnp.bfloat16,
                          key=jax.random.PRNGKey(70))
     cfg = PPOConfig(rollout_steps=T, epochs=2, minibatches=4, lr=3e-4)
-    times = []
-    ppo_train(env, net, cfg, num_updates=8, key=jax.random.PRNGKey(71),
-              log_fn=lambda u, m: times.append(time.perf_counter()))
-    if len(times) < 4:
-        return None
-    dt = (times[-1] - times[1]) / (len(times) - 2)   # steady-state
+
+    # Time the jitted train step directly: back-to-back enqueues with ONE
+    # trailing scalar fetch (ppo_train's per-update metrics device_get
+    # costs a relay round-trip each — that is logging, not training).
+    from pde_opt_tpu.rl import make_ppo_train_step
+
+    train_step, optimizer = make_ppo_train_step(env, cfg)
+    params = net
+    opt_state = optimizer.init(params)
+    key = jax.random.PRNGKey(71)
+    env_state, _ = env.reset(jax.random.PRNGKey(72))
+    for _ in range(2):                                # compile + warm
+        params, opt_state, env_state, key, metrics = train_step(
+            params, opt_state, env_state, key)
+    _ = float(metrics["reward_mean"])
+    n_upd = 8
+    t0 = time.perf_counter()
+    for _ in range(n_upd):
+        params, opt_state, env_state, key, metrics = train_step(
+            params, opt_state, env_state, key)
+    _ = float(metrics["reward_mean"])
+    dt = (time.perf_counter() - t0) / n_upd
 
     # Physics+obs floor: random-policy rollout of the same env, same T.
     phys_rate, _ = _rollout_rate(env, B, T, timed_runs=6, key0=72)
