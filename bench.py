@@ -420,7 +420,7 @@ def run_ch3d_mobility():
     h = L / N
     dt = 2.5e-4
     macro = make_ch3d_mobility_cas_macro(mu_fn, D_fn, N, N, N, h, h, h,
-                                         1.0, dt, n_sub)
+                                         1.0, dt, n_sub, stab_scale=2.0)
 
     fft_run = jax.jit(lambda y: evolve(solver, eq.rhs, y, 0.0, dt, n_sub))
     cas_run = jax.jit(lambda y: macro(y, 0.002))
