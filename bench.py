@@ -173,8 +173,10 @@ def run_ch256():
     u = (0.5 + 0.01 * jax.random.normal(jax.random.PRNGKey(60), (B, N, N))
          ).astype(jnp.float32)
     kap = jnp.full((B,), 4e-3, jnp.float32)
+    # block_envs=2: +10% over the auto block at 256² (VMEM-capped at 8;
+    # scripts/sweep_cas_blocks_128.py, same-window sweep).
     macro = jax.jit(make_ch_cas_fused_macro(
-        lambda c: c**3 - c, N, N, 0.01, 0.01, 1.0, 1e-4, S))
+        lambda c: c**3 - c, N, N, 0.01, 0.01, 1.0, 1e-4, S, block_envs=2))
     out = macro(u, kap)
     _ = float(jnp.sum(out))
     t0 = time.perf_counter()

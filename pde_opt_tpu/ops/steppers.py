@@ -900,47 +900,101 @@ class ImplicitEuler(AbstractStepper):
     Capability parity with the reference's ``diffrax.ImplicitEuler`` +
     ``optimistix.Newton``/``lineax.GMRES`` path
     (``/root/reference/notebooks/test_implicit.ipynb``).  Solves
-    ``g(y1) = y1 - y0 - dt*rhs(y1, t1) = 0`` with a fixed number of Newton
-    iterations; each Jacobian solve is matrix-free GMRES on ``jvp(g)``.
-    Fixed iteration counts (not data-dependent convergence loops) keep the
-    step traceable and batchable under jit.
+    ``g(y1) = y1 - y0 - dt*rhs(y1, t1) = 0``; each Jacobian solve is
+    matrix-free GMRES on ``jvp(g)``.
+
+    Newton iterates until the residual norm satisfies
+    ``||g|| <= atol + rtol·||y||`` or ``newton_iters`` is reached —
+    data-dependent but fully traceable: a ``while_loop`` by default, or
+    (``differentiable=True``) a masked ``fori_loop`` whose converged
+    iterations are select-frozen, which reverse-mode AD can unroll.
+    :meth:`solve_step` additionally returns convergence diagnostics
+    (iterations used, final residual norm, converged flag) so a caller
+    pushing dt can DETECT a non-converged solve instead of silently
+    integrating garbage — the round-3 review's failure mode.
     """
 
     order = 1
 
-    def __init__(self, newton_iters: int = 6, gmres_iters: int = 20, tol: float = 1e-10):
+    def __init__(self, newton_iters: int = 12, gmres_iters: int = 20,
+                 tol: float = 1e-10, rtol: float = 1e-8, atol: float = 1e-10,
+                 differentiable: bool = False):
         self.newton_iters = newton_iters
         self.gmres_iters = gmres_iters
         self.tol = tol
+        self.rtol = rtol
+        self.atol = atol
+        self.differentiable = differentiable
 
-    def step(self, rhs, y, t, dt):
+    def _norm(self, z):
+        return jnp.sqrt(jnp.sum(jnp.real(z * jnp.conj(z))))
+
+    def solve_step(self, rhs, y, t, dt):
+        """One backward-Euler solve; returns ``(y1, stats)`` with
+        ``stats = {"iterations", "residual_norm", "converged"}``."""
         t1 = t + dt
+        thresh = self.atol + self.rtol * self._norm(y)
 
         def g(z):
             return z - y - dt * rhs(z, t1)
 
-        def newton_body(_, z):
+        def newton_update(z):
             gz = g(z)
 
             def jvp_fn(v):
                 return jax.jvp(g, (z,), (v,))[1]
 
             delta, _ = jax.scipy.sparse.linalg.gmres(
-                jvp_fn, gz, tol=self.tol, maxiter=self.gmres_iters, solve_method="batched"
+                jvp_fn, gz, tol=self.tol, maxiter=self.gmres_iters,
+                solve_method="batched"
             )
             return z - delta
 
-        y1 = jax.lax.fori_loop(0, self.newton_iters, newton_body, y + dt * rhs(y, t))
+        z0 = y + dt * rhs(y, t)
+        r0 = self._norm(g(z0))
+        if self.differentiable:
+            def body(_, carry):
+                z, res, it = carry
+                done = res <= thresh
+                z_new = newton_update(z)
+                z = jnp.where(done, z, z_new)
+                res_new = self._norm(g(z))
+                return (z, jnp.where(done, res, res_new),
+                        it + jnp.where(done, 0, 1))
+
+            z, res, iters = jax.lax.fori_loop(
+                0, self.newton_iters, body, (z0, r0, jnp.int32(0)))
+        else:
+            def cond(carry):
+                _, res, it = carry
+                return (res > thresh) & (it < self.newton_iters)
+
+            def body(carry):
+                z, _, it = carry
+                z = newton_update(z)
+                return z, self._norm(g(z)), it + 1
+
+            z, res, iters = jax.lax.while_loop(
+                cond, body, (z0, r0, jnp.int32(0)))
+        stats = {"iterations": iters, "residual_norm": res,
+                 "converged": res <= thresh}
+        return z, stats
+
+    def step(self, rhs, y, t, dt):
+        y1, _ = self.solve_step(rhs, y, t, dt)
         return y1, y1 - (y + dt * rhs(y, t))
 
     def __hash__(self):
-        return hash((type(self), self.newton_iters, self.gmres_iters, self.tol))
+        return hash((type(self), self.newton_iters, self.gmres_iters,
+                     self.tol, self.rtol, self.atol, self.differentiable))
 
     def __eq__(self, other):
         return (
             type(self) is type(other)
-            and (self.newton_iters, self.gmres_iters, self.tol)
-            == (other.newton_iters, other.gmres_iters, other.tol)
+            and (self.newton_iters, self.gmres_iters, self.tol, self.rtol,
+                 self.atol, self.differentiable)
+            == (other.newton_iters, other.gmres_iters, other.tol,
+                other.rtol, other.atol, other.differentiable)
         )
 
 

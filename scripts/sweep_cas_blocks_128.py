@@ -25,10 +25,12 @@ def flops_per_substep(N):
 
 
 def rate(N, B, block_envs, mats, runs=8):
-    macro = make_ch_cas_fused_macro(
+    import jax as _jax
+
+    macro = _jax.jit(make_ch_cas_fused_macro(
         lambda c: c**3 - c, N, N, 0.01, 0.01, 1.0, 1e-4, SUB,
         block_envs=block_envs, mats_dtype=mats,
-    )
+    ))
     u = (0.5 + 0.01 * jax.random.normal(jax.random.PRNGKey(0), (B, N, N))
          ).astype(jnp.float32)
     kap = jnp.full((B,), 4e-3, jnp.float32)
@@ -45,12 +47,21 @@ def rate(N, B, block_envs, mats, runs=8):
 
 
 def main():
-    for N, B, blocks in ((128, 1024, (None, 4, 8, 16, 32)),
-                         (256, 256, (None, 2, 4, 8))):
+    # 64² first: the same-window calibration anchor (its kernel-isolated
+    # MFU is 0.29 by the dispatch-cancelled slope method; whatever THIS
+    # naive loop measures for it calibrates the relay window).
+    for N, B, blocks in ((64, 4096, (None,)),
+                         (128, 1024, (None, 8, 16)),
+                         (256, 256, (None, 2, 4))):
         f = flops_per_substep(N)
         for mats in (jnp.bfloat16,):
             for be in blocks:
-                r = rate(N, B, be, mats)
+                try:
+                    r = rate(N, B, be, mats)
+                except Exception as e:
+                    print(f"RESULT N={N} block={be}: ERROR "
+                          f"{type(e).__name__}: {str(e)[:90]}", flush=True)
+                    continue
                 if r is None:
                     print(f"RESULT N={N} block={be}: DIVERGED")
                     continue
