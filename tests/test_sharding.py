@@ -208,3 +208,32 @@ def test_learner_psum_gradients():
     )(w)
     np.testing.assert_allclose(float(loss_sharded), float(loss_ref), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref), rtol=1e-6)
+
+
+def test_sharded_rot_gpe_env_matches_single_device():
+    """The 6th env family (complex state, matmul ADI stepper) under
+    shard_map: per-env rewards and states match the local fleet — the
+    sweep-propagator constants replicate, the complex field shards."""
+    from pde_opt_tpu.envs import make_gpe_rot_control_env
+
+    n_dev = len(jax.devices())
+    num_envs = 2 * n_dev
+    env = make_gpe_rot_control_env(num_envs=num_envs, grid_size=16,
+                                   substeps=2, end_time=0.32, step_dt=0.04)
+    mesh = make_mesh()
+    senv = ShardedVectorPDEEnv(env, mesh)
+
+    key = jax.random.PRNGKey(3)
+    state_l, obs_l = env.reset(key)
+    state_s, obs_s = senv.reset(key)
+    np.testing.assert_allclose(np.asarray(obs_l), np.asarray(obs_s), atol=0)
+    assert state_s.y.dtype == state_l.y.dtype  # complex64 preserved
+
+    acts = jnp.full((num_envs, 1), 0.7)
+    sl, ol, rl, tl, _, _ = env.step(state_l, acts)
+    ss, os_, rs, ts_, _, _ = senv.step(state_s, acts)
+    np.testing.assert_allclose(np.asarray(rl), np.asarray(rs),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sl.y.real), np.asarray(ss.y.real),
+                               rtol=1e-5, atol=1e-7)
+    assert len(ss.y.sharding.device_set) == n_dev
