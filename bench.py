@@ -663,8 +663,16 @@ def main():
     def remaining():
         return BUDGET_S + GRACE_S - (time.perf_counter() - t0)
 
-    ok, flag = _run_child("flagship", min(CONFIG_REGISTRY["flagship"][1],
-                                          remaining()))
+    # The relay's health comes in windows (docs/performance.md §Relay
+    # throughput variance): give the flagship a second attempt after a
+    # short pause before declaring the whole bench invalid.
+    for attempt in range(2):
+        ok, flag = _run_child("flagship", min(CONFIG_REGISTRY["flagship"][1],
+                                              remaining()))
+        if ok and flag.get("rate"):
+            break
+        if attempt == 0 and remaining() > 120:
+            time.sleep(30)
     if not ok or not flag.get("rate"):
         print(json.dumps({
             "metric": "BENCH INVALID: flagship failed",
