@@ -163,10 +163,12 @@ def make_sbm_bv_fused_macro(
             k4 = rhs(z + dt_f * k3)
             return z + (dt_f / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
 
-        # Unroll short macro-steps (the preset range the VMEM heuristic in
-        # _pick_block was sized for); past 16 substeps a fori_loop keeps
-        # compile time and live-buffer count bounded.
-        if n_steps <= 16:
+        # Keep the Mosaic program small: each unrolled RK4 substep is ~40
+        # ops x 4 stages, and a 10-substep unroll stalled the relay's
+        # remote-compile service indefinitely (r4 finding — the kernel
+        # compiled only in interpret mode until then).  Unroll at most 2
+        # substeps; the fori_loop body is compiled once.
+        if n_steps <= 2:
             for _ in range(n_steps):
                 u = rk4(u)
         else:
