@@ -308,8 +308,8 @@ def run_gpe_rot():
 
     fft_rate, _ = rate(
         jax.jit(lambda y: evolve(stepper, lambda s, t: s, y, 0.0, dt, n_sub)),
-        5)
-    fast_rate, y = rate(jax.jit(lambda y: macro(y)), 10)
+        3)
+    fast_rate, y = rate(jax.jit(lambda y: macro(y)), 8)
     out = {}
     if fft_rate:
         out["fft_field_substeps_per_s"] = round(fft_rate, 1)
@@ -325,7 +325,7 @@ def run_gpe_rot():
 
     env = make_gpe_rot_control_env(num_envs=1024, grid_size=GRID,
                                    substeps=SUBSTEPS)
-    env_rate, _ = _rollout_rate(env, 1024, 40, key0=95)
+    env_rate, _ = _rollout_rate(env, 1024, 25, key0=95)
     if env_rate:
         out["env_steps_per_s"] = round(env_rate, 1)
     return out or None
@@ -604,7 +604,7 @@ def run_train_grad():
 CONFIG_REGISTRY = {
     "flagship": (run_flagship, 300),
     "sbm_bv_64x64_1024envs": (run_sbm_bv, 120),
-    "gpe_rot_64x64_512batch": (run_gpe_rot, 180),
+    "gpe_rot_64x64_512batch": (run_gpe_rot, 220),
     "ch3d_mobility_32cubed_256batch": (run_ch3d_mobility, 240),
     "ppo_64x64_4096envs": (run_ppo, 330),
     "bv_fused_64": (run_bv_fused_64, 150),
