@@ -203,3 +203,28 @@ def test_ppo_mlp_torso_learns_kappa_control():
     random_ = _ep_return(env, _random_continuous(env))
     assert trained > random_ + MARGIN, (trained, random_)
     assert trained > NEAR_OPT, trained
+
+
+def test_ppo_chunked_shuffle_learns():
+    """The chunked minibatch shuffle (the TPU gather fix: permute
+    contiguous same-timestep env blocks instead of samples) must clear
+    the same learning gate — proves decorrelation is preserved.  At this
+    scale N=256, minibatches=2, mb=128, chunk=64 => chunking ACTIVE."""
+    from pde_opt_tpu.rl import ActorCriticMLP, PPOConfig, ppo_train
+
+    env = _make_env()
+    net = ActorCriticMLP(action_dim=1, in_features=N * N, widths=(64,),
+                         features=32, key=jax.random.PRNGKey(1))
+    cfg = PPOConfig(rollout_steps=T, epochs=2, minibatches=2, lr=3e-3,
+                    ent_coef=0.0, shuffle_chunk=64)
+    params, _ = ppo_train(env, net, cfg, num_updates=30,
+                          key=jax.random.PRNGKey(1))
+
+    def det_policy(obs, k):
+        (mean, _), _ = params(obs)
+        return mean
+
+    trained = _ep_return(env, det_policy)
+    random_ = _ep_return(env, _random_continuous(env))
+    assert trained > random_ + MARGIN, (trained, random_)
+    assert trained > NEAR_OPT, trained
