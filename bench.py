@@ -255,6 +255,7 @@ def run_gpe64():
         rate, _ = _rollout_rate(env, 1024, 50, key0=30)
         if rate:
             out[f"{mode}_env_steps_per_s"] = round(rate, 1)
+            _emit_partial(out)
     return out or None
 
 
@@ -306,19 +307,21 @@ def run_gpe_rot():
             return None, y
         return B * n_sub * runs / elapsed, y
 
+    out = {}
     fft_rate, _ = rate(
         jax.jit(lambda y: evolve(stepper, lambda s, t: s, y, 0.0, dt, n_sub)),
         3)
-    fast_rate, y = rate(jax.jit(lambda y: macro(y)), 8)
-    out = {}
     if fft_rate:
         out["fft_field_substeps_per_s"] = round(fft_rate, 1)
+        _emit_partial(out)
+    fast_rate, y = rate(jax.jit(lambda y: macro(y)), 8)
     if fast_rate:
         out["matmul_field_substeps_per_s"] = round(fast_rate, 1)
         thresh = 0.05 * float(jax.jit(lambda y: jnp.max(jnp.abs(y[0])))(y))
         n_int = np.asarray(jax.device_get(
             jax.jit(lambda y: vortex_winding(y[0], amp_thresh=thresh))(y)))
         out["num_vortices"] = int((n_int != 0).sum())
+        _emit_partial(out)
 
     # Stirring control fleet (make_gpe_rot_control_env, fused stepper).
     from pde_opt_tpu.envs import make_gpe_rot_control_env
@@ -377,12 +380,13 @@ def run_ch3d():
         return B * n_sub * runs / dt
 
     out = {}
-    r = rate(fft_run, 3)
-    if r:
-        out["fft_field_substeps_per_s"] = round(r, 1)
     r = rate(cas_run, 10)
     if r:
         out["cas_field_substeps_per_s"] = round(r, 1)
+        _emit_partial(out)
+    r = rate(fft_run, 3)
+    if r:
+        out["fft_field_substeps_per_s"] = round(r, 1)
     return out or None
 
 
@@ -445,12 +449,13 @@ def run_ch3d_mobility():
         return B * n_sub * runs / elapsed
 
     out = {}
+    r = rate(cas_run, 10)          # the headline number first
+    if r:
+        out["cas_field_substeps_per_s"] = round(r, 1)
+        _emit_partial(out)
     r = rate(fft_run, 3)
     if r:
         out["fft_field_substeps_per_s"] = round(r, 1)
-    r = rate(cas_run, 10)
-    if r:
-        out["cas_field_substeps_per_s"] = round(r, 1)
     if len(out) == 2:
         out["cas_vs_fft_speedup"] = round(
             out["cas_field_substeps_per_s"] / out["fft_field_substeps_per_s"],
@@ -507,6 +512,9 @@ def run_ppo():
             params, opt_state, env_state, key)
     _ = float(metrics["reward_mean"])
     dt = (time.perf_counter() - t0) / n_upd
+    _emit_partial({"trained_env_steps_per_s": round(T * B / dt, 1),
+                   "update_ms": round(1e3 * dt, 1),
+                   "policy": "mlp256-bf16"})
 
     # Physics+obs floor: random-policy rollout of the same env, same T.
     phys_rate, _ = _rollout_rate(env, B, T, timed_runs=6, key0=72)
@@ -587,7 +595,10 @@ def run_train_grad():
         dt = time.perf_counter() - t0
         return B * n_sub * runs / dt
 
-    fused_g, xla_g = rate(fused_grad), rate(xla_grad)
+    fused_g = rate(fused_grad)
+    if fused_g:
+        _emit_partial({"fused_grad_env_substeps_per_s": round(fused_g, 1)})
+    xla_g = rate(xla_grad)
     if not (fused_g and xla_g):
         return None
     return {
@@ -619,10 +630,27 @@ CONFIG_REGISTRY = {
 }
 
 
+_CHILD_CONFIG = [None]
+
+
+def _emit_partial(data: dict):
+    """Flush an interim cumulative fragment from inside a config worker.
+
+    If the orchestrator later kills this child on timeout, the LAST
+    parseable fragment on its (captured) stdout still counts as a partial
+    capture — long multi-measurement configs call this after each stage so
+    a slow-relay window costs only the unfinished tail, not everything.
+    """
+    if _CHILD_CONFIG[0] is not None and data:
+        print(json.dumps({"config": _CHILD_CONFIG[0], "ok": True,
+                          "data": data}), flush=True)
+
+
 def _child_main(name):
     # Persistent compilation cache: each config child compiles from scratch
     # otherwise.  Harmless if the backend ignores it.
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    _CHILD_CONFIG[0] = name
     fn, _cap = CONFIG_REGISTRY[name]
     data = fn()
     print(json.dumps({"config": name, "ok": data is not None, "data": data}),
@@ -642,7 +670,21 @@ def _run_child(name, timeout_s):
             capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # The killed child's stdout is attached to the exception: its last
+        # interim fragment (see _emit_partial) is still a valid capture.
+        out = e.stdout or ""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        for line in reversed(out.strip().splitlines()):
+            try:
+                frag = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if (isinstance(frag, dict) and frag.get("config") == name
+                    and frag.get("ok") and frag.get("data")):
+                return True, {**frag["data"],
+                              "partial": f"timeout>{int(timeout_s)}s"}
         return False, {"skipped": f"timeout>{int(timeout_s)}s"}
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
