@@ -211,25 +211,23 @@ class VectorPDEEnv:
         ``old + off`` instead of ``old + off[..., 0]`` producing ``(B, B)``
         — would silently GROW the state batch through broadcasting on
         steppers that do their own broadcasting (the fused steppers
-        validate their inputs; the generic XLA steppers cannot).  Enforce
-        the same contract here for every stepper path: each control-value
-        leaf must be a scalar or ``(B,)`` plus trailing singleton axes.
+        validate their inputs; the generic XLA steppers cannot).  Reject
+        only the actual mis-broadcast failure mode: a non-scalar leaf whose
+        *leading* dim mismatches ``B``.  Arbitrary trailing dims (e.g. a
+        ``(B, 2)`` stirrer position from a 2-dim action space) are
+        legitimate multi-component per-env controls and pass through.
         ``B`` is the leading dim of the state actually being advanced (a
         per-device shard under ``shard_map`` — not ``self.num_envs``).
         """
         for leaf in jax.tree_util.tree_leaves(new_cv):
             shape = jnp.shape(leaf)
-            ok = shape == () or (
-                len(shape) >= 1 and shape[0] == B
-                and all(s == 1 for s in shape[1:])
-            )
+            ok = shape == () or (len(shape) >= 1 and shape[0] == B)
             if not ok:
                 raise ValueError(
-                    f"update_control_value produced shape {shape}, which "
-                    f"does not fit the per-env control contract: scalar or "
-                    f"({B},) plus trailing singleton axes.  A common cause "
-                    "is broadcasting the raw (B, k) action offset against "
-                    "the (B,) control (use off[..., 0])."
+                    f"update_control_value produced shape {shape}, whose "
+                    f"leading dim does not match the env batch ({B}).  A "
+                    "common cause is broadcasting the raw (B, k) action "
+                    "offset against the (B,) control (use off[..., 0])."
                 )
 
     def _advance_batched(self, y, cv, actions):

@@ -181,6 +181,25 @@ class Shape:
             evals, vecs = scipy.sparse.linalg.lobpcg(
                 lap, block, largest=False, tol=1e-7, maxiter=500
             )
+            # lobpcg returns whatever it has at maxiter with only a warning;
+            # an unconverged pair would silently hand downstream physics an
+            # inaccurate shape basis.  Check the residuals ourselves and
+            # retry harder once before giving up loudly.
+            res = np.linalg.norm(lap @ vecs - vecs * evals[None, :], axis=0)
+            tol = 1e-5 * max(1.0, float(np.abs(evals).max()))
+            if (res > tol).any():
+                evals, vecs = scipy.sparse.linalg.lobpcg(
+                    lap, vecs, largest=False, tol=1e-9, maxiter=2000
+                )
+                res = np.linalg.norm(
+                    lap @ vecs - vecs * evals[None, :], axis=0
+                )
+                if (res > tol).any():
+                    raise RuntimeError(
+                        "LOBPCG failed to converge the shape-mode basis: "
+                        f"max residual {res.max():.3e} > {tol:.3e} after "
+                        "retry (reduce N or coarsen the mask)"
+                    )
             order = np.argsort(evals)
             evals, vecs = evals[order], vecs[:, order]
 

@@ -58,7 +58,16 @@ def legval(params, x, max_degree: int):
     elementwise VPU ops and lowers inside Pallas kernels (Mosaic cannot
     lower a rank-4 ``dot_general``; the fused CH rhs kernels trace
     coefficient modules into their bodies)."""
-    coeffs = jnp.asarray(params)[: max_degree + 1]
+    coeffs = jnp.asarray(params)
+    if coeffs.shape[0] < max_degree + 1:
+        # jnp clamps out-of-bounds element indices, so a short params vector
+        # would silently reuse its last coefficient for every higher degree;
+        # the shape is static, so fail at trace time instead.
+        raise ValueError(
+            f"legval needs at least max_degree+1 = {max_degree + 1} "
+            f"coefficients, got {coeffs.shape[0]}"
+        )
+    coeffs = coeffs[: max_degree + 1]
     p_prev = jnp.ones_like(x)
     acc = coeffs[0] * p_prev
     if max_degree >= 1:

@@ -14,6 +14,7 @@ and advantage normalization.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, NamedTuple
@@ -206,7 +207,14 @@ def make_ppo_train_step(env, config: PPOConfig, optimizer=None):
         mb = -(-N // config.minibatches)
 
         # Chunked shuffle when shapes allow (see PPOConfig.shuffle_chunk).
-        C = config.shuffle_chunk
+        # Flatten is time-major, so sample i = (t, b) with b = i % B: a chunk
+        # of C consecutive samples holds C *distinct same-timestep envs* only
+        # when chunk boundaries align to the env axis (B % C == 0).  For
+        # small fleets shrink C to gcd(C, B) so chunks never span timesteps
+        # — spanning would keep temporally correlated samples of the same
+        # env together in every minibatch, silently undoing the shuffle's
+        # decorrelation.
+        C = math.gcd(config.shuffle_chunk, B)
         chunked = C > 1 and N % (config.minibatches * mb) == 0 and mb % C == 0
 
         def epoch(carry, ekey):

@@ -164,12 +164,29 @@ def _bad_env(update_value, spectral_solve="fft", update_param=None):
     return env
 
 
-@pytest.mark.parametrize("bad_shape", [(4, 4), (4, 2), (1, 4)])
+@pytest.mark.parametrize("bad_shape", [(1, 4), (2,), (3, 1)])
 def test_env_rejects_misbroadcast_control_value_on_xla_path(bad_shape):
+    # Only a leading-dim mismatch is the actual mis-broadcast failure mode;
+    # arbitrary trailing dims are legitimate multi-component controls.
     env = _bad_env(lambda off, old: jnp.zeros(bad_shape) + 0.004)
     state, _ = env.reset(jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="per-env control contract"):
+    with pytest.raises(ValueError, match="leading dim does not match"):
         env.step(state, jnp.zeros((4, 1)))
+
+
+def test_env_accepts_multicomponent_control_value():
+    # A (B, 2) control (e.g. a stirrer position from a 2-dim action space)
+    # must pass the contract check — the reference's generic env wrapper
+    # permits it (/root/reference/pde_opt/pde_env.py:43-138).
+    env = _bad_env(
+        lambda off, old: jnp.zeros((4, 2)) + 0.004,
+        update_param=lambda old, new: new.mean(axis=-1)[..., None, None],
+    )
+    env.reset_control_value = jnp.full((2,), 0.004)
+    env._reset = jax.jit(env._reset_impl)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    state, obs, r, term, trunc, info = env.step(state, jnp.zeros((4, 1)))
+    assert bool(jnp.isfinite(r).all())
 
 
 def test_env_rejects_state_growing_control_param():

@@ -7,6 +7,7 @@ plus pytree/batching checks the TPU design requires.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from numpy.polynomial.legendre import legval as np_legval
 
 from pde_opt_tpu.models.functions import (
@@ -81,6 +82,15 @@ def test_legendre_polynomials_hardcoded_equivalent():
         mod(params, x), np_legval(np.asarray(x), np.asarray(params)),
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_legval_rejects_short_params_at_trace_time():
+    # jnp clamps out-of-bounds element indices, so a short params vector
+    # would otherwise silently reuse its last coefficient.
+    from pde_opt_tpu.models.functions.legendre import legval
+
+    with pytest.raises(ValueError, match="at least max_degree"):
+        legval(jnp.array([1.0, 2.0]), jnp.linspace(-1, 1, 8), max_degree=4)
 
 
 def test_modules_are_pytrees_and_optimizable():
