@@ -85,6 +85,7 @@ def make_rot_adi_macro(
     time_scale=1.0,
     normalize: Optional[bool] = None,
     mats_dtype=jnp.float32,
+    phase_poly: bool = True,
 ):
     """Build ``macro(psi, t0) -> psi1`` advancing ``n_steps`` ADI substeps.
 
@@ -94,6 +95,15 @@ def make_rot_adi_macro(
     ``psi``: complex array (..., H, W), batch axes leading.  ``normalize``
     defaults to on for imaginary ``time_scale`` (ground-state search),
     exactly as :class:`~pde_opt_tpu.ops.steppers.DirectionalSplitting`.
+
+    ``phase_poly``: evaluate the pointwise B-phase ``exp(z)`` (``z =
+    B_terms·δt·time_scale``, split into ``e^{Re z}·(cos Im z + i sin Im z)``)
+    with degree-7 Taylor polynomials instead of hardware exp/cos/sin —
+    the same trade as :func:`pde_opt_tpu.ops.gpe_cas.make_gpe_strang_cas_macro`:
+    the splitting itself needs ``|z| << 1`` per substep, and on that domain
+    the truncation error (``~|z|^8/8!``) is below f32 resolution for
+    ``|z| <= ~0.35`` and ~1e-6 at 0.7.  No runtime guard: callers whose
+    per-substep phase can exceed ~0.7 must pass ``phase_poly=False``.
     """
     if normalize is None:
         normalize = complex(time_scale).imag != 0.0
@@ -149,9 +159,26 @@ def make_rot_adi_macro(
 
     def b_apply(pr, pi, t):
         psi = pr + 1j * pi
-        phase = jnp.exp(B_terms(psi, t) * dt_c)
-        psi = psi * phase
-        pr, pi = jnp.real(psi), jnp.imag(psi)
+        z = B_terms(psi, t) * dt_c
+        zr, zi = jnp.real(z), jnp.imag(z)
+        if phase_poly:
+            # exp(z) = e^{zr}·(cos zi + i·sin zi) as degree-7 Taylor
+            # polynomials (pure FMA chains on the VPU) — the hardware
+            # exp/cos/sin were ~40% of the plain-GPE kernel's runtime
+            # (scripts/profile_gpe.py ablation) and the rotating macro's
+            # measured bound named the B-phase transcendentals first.
+            er = 1.0 + zr * (1.0 + zr * (0.5 + zr * (
+                1.0 / 6.0 + zr * (1.0 / 24.0 + zr * (
+                    1.0 / 120.0 + zr * (1.0 / 720.0 + zr / 5040.0))))))
+            t2 = zi * zi
+            c = 1.0 + t2 * (-0.5 + t2 * (1.0 / 24.0 + t2 * (-1.0 / 720.0)))
+            s = zi * (1.0 + t2 * (-1.0 / 6.0 + t2 * (
+                1.0 / 120.0 + t2 * (-1.0 / 5040.0))))
+        else:
+            er = jnp.exp(zr)
+            c = jnp.cos(zi)
+            s = jnp.sin(zi)
+        pr, pi = er * (pr * c - pi * s), er * (pr * s + pi * c)
         if normalize:
             norm = jax.lax.rsqrt(
                 jnp.sum(pr * pr + pi * pi, axis=(-2, -1), keepdims=True)

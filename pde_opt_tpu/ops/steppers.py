@@ -861,7 +861,7 @@ class FusedRotatingSplitting(AbstractStepper):
     order = 2
 
     def __init__(self, A_terms, B_terms, dx, time_scale=1.0, normalize=None,
-                 mats_dtype=None):
+                 mats_dtype=None, phase_poly=True):
         self.A_terms = A_terms
         self.B_terms = B_terms
         self.dx = dx
@@ -870,6 +870,7 @@ class FusedRotatingSplitting(AbstractStepper):
             normalize = complex(time_scale).imag != 0.0
         self.normalize = normalize
         self.mats_dtype = mats_dtype
+        self.phase_poly = phase_poly
 
     def evolve(self, rhs, y0, t0, dt, n_steps, unroll=1):
         del rhs, unroll
@@ -886,7 +887,7 @@ class FusedRotatingSplitting(AbstractStepper):
         macro = make_rot_adi_macro(
             self.A_terms, self.B_terms, float(self.dx), H, W, float(dt),
             int(n_steps), time_scale=self.time_scale,
-            normalize=self.normalize, **kwargs,
+            normalize=self.normalize, phase_poly=self.phase_poly, **kwargs,
         )
         return macro(y0, t0)
 

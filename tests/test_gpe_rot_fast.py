@@ -66,6 +66,26 @@ def test_single_step_no_scan_path():
                                rtol=0, atol=2e-5)
 
 
+def test_phase_poly_matches_hardware_transcendentals():
+    """Degree-7 Taylor B-phase vs hardware exp/cos/sin: sub-f32-ulp on the
+    splitting's own |z| << 1 domain (both real and imaginary time)."""
+    domain, eq, psi0 = _setup(omega=0.6)
+    for ts in (1.0, -1j):
+        outs = []
+        for poly in (True, False):
+            macro = make_rot_adi_macro(eq.A_terms, eq.B_terms, domain.dx[0],
+                                       N, N, 1e-3, 5, time_scale=ts,
+                                       mats_dtype=jnp.float32,
+                                       phase_poly=poly)
+            outs.append(macro(psi0))
+        np.testing.assert_allclose(np.asarray(outs[0].real),
+                                   np.asarray(outs[1].real),
+                                   rtol=0, atol=5e-7)
+        np.testing.assert_allclose(np.asarray(outs[0].imag),
+                                   np.asarray(outs[1].imag),
+                                   rtol=0, atol=5e-7)
+
+
 def test_traced_control_in_B_terms():
     """B may close over a traced per-env control (the env hook)."""
     domain, eq, psi0 = _setup(omega=0.3)
