@@ -10,9 +10,17 @@ overpotential evaluate in VMEM, and the result is written once.  The ψ
 fields (ψ, its face averages, κ/ψ, ψ·cell) are compile-time constants shared
 by all envs.
 
-Env packing is deliberately NOT used here: rolls on a packed tile would wrap
-across env boundaries (unlike the block-diagonal cas transforms), so each
-env keeps its own (H, W) tile.
+Env packing (round 5): grids < 128 pack ``(128//H)·(128//W)`` envs per
+tile exactly as the cas kernels do — an unpacked (bb, 64, 64) f32 tile
+leaves half of every (8, 128) vector register empty, so EVERY VPU op
+(and this kernel is pure VPU: stencils + exp/log/sqrt closure) ran at
+half throughput.  Plain rolls would wrap across env boundaries on the
+packed tile, so each neighbor fetch is seam-corrected: two ``pltpu.roll``
+results blended by a constant 0/1 seam mask (arithmetic select — Mosaic
+rejects broadcasting ``jnp.where``), giving each env its own periodic
+wrap.  Constants (ψ faces, κ/ψ, ψ·cell) tile per quadrant; the per-env
+constraint integrals become per-quadrant keepdims sums broadcast back
+over their quadrant (the ``bv_cas`` idiom).
 
 Differentiable via a custom VJP through a checkpointed roll-stencil oracle
 (:func:`sbm_bv_reference`), exactly as :mod:`.bv_cas` does.
@@ -80,13 +88,6 @@ def sbm_bv_reference(mu_fn, j0_fn, kappa, psi, hx, hy, dt, n_steps,
     return macro
 
 
-def _pick_block(H: int, W: int, vmem_budget_bytes: int = 8 * 2**20) -> int:
-    """Largest power-of-two env block fitting ~12 live f32 (bb,H,W) buffers."""
-    per_env = H * W * 4 * 12
-    bb = max(1, vmem_budget_bytes // per_env)
-    return 1 << (bb.bit_length() - 1)
-
-
 def make_sbm_bv_fused_macro(
     mu_fn: Callable,
     j0_fn: Callable,
@@ -108,52 +109,95 @@ def make_sbm_bv_fused_macro(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    from .cas_spectral import (
+        _pack_factors,
+        _pack_field,
+        _pack_kappa,
+        _pick_block as _pick_block_packed,
+        _unpack_field,
+    )
 
     psi_np = np.asarray(psi, np.float32)
     H, W = psi_np.shape
+    ph, pw = _pack_factors(H, W)
+    HP, WP = ph * H, pw * W
+    pack = ph * pw
     psi_ax_np = 0.5 * (psi_np + np.roll(psi_np, -1, 0))
     psi_ay_np = 0.5 * (psi_np + np.roll(psi_np, -1, 1))
     kop_np = np.float32(kappa) / psi_np          # κ/ψ, folds one divide
     psic_np = psi_np * np.float32(hx * hy)       # ψ·cell, folds the quadrature
+
+    def _tile(a):
+        return np.tile(a, (ph, pw))
+
+    # 0/1 seam masks on the packed tile: rows/cols where a plain roll would
+    # fetch the neighboring env instead of this env's periodic wrap.
+    row_last = np.zeros((HP, WP), np.float32)
+    row_last[H - 1::H, :] = 1.0
+    row_first = np.zeros((HP, WP), np.float32)
+    row_first[0::H, :] = 1.0
+    col_last = np.zeros((HP, WP), np.float32)
+    col_last[:, W - 1::W] = 1.0
+    col_first = np.zeros((HP, WP), np.float32)
+    col_first[:, 0::W] = 1.0
 
     inv_hx = np.float32(1.0 / hx)
     inv_hy = np.float32(1.0 / hy)
     dt_f = float(dt)
 
     def kernel(u_ref, crate_ref, psi_ax_ref, psi_ay_ref, kop_ref, psic_ref,
-               out_ref):
-        u = u_ref[:].astype(jnp.float32)          # (bb, H, W)
-        crate = crate_ref[:].astype(jnp.float32)  # (bb, 1, 1)
-        psi_ax = psi_ax_ref[:]                    # (H, W) consts
+               mrl_ref, mrf_ref, mcl_ref, mcf_ref, out_ref):
+        u = _pack_field(u_ref[:].astype(jnp.float32), ph, pw)  # (bb4, HP, WP)
+        CQ = _pack_kappa(crate_ref[:].astype(jnp.float32), ph, pw, H, W)
+        psi_ax = psi_ax_ref[:]                    # (HP, WP) tiled consts
         psi_ay = psi_ay_ref[:]
         kop = kop_ref[:]
         psic = psic_ref[:]
-        bb = u.shape[0]
+        mrl, mrf = mrl_ref[:], mrf_ref[:]
+        mcl, mcf = mcl_ref[:], mcf_ref[:]
+        bb4 = u.shape[0]
 
-        def rx(a, s):
-            return pltpu.roll(a, s % a.shape[1], 1)
+        def nb(z, axis, seam_mask, plain_s, seam_s, n_packed):
+            """Seam-corrected periodic neighbor on the packed tile."""
+            plain = pltpu.roll(z, plain_s % n_packed, axis)
+            if pack == 1 or (axis == 1 and ph == 1) or (axis == 2 and pw == 1):
+                return plain
+            seam = pltpu.roll(z, seam_s % n_packed, axis)
+            return seam_mask[None] * seam + (1.0 - seam_mask[None]) * plain
 
-        def ry(a, s):
-            return pltpu.roll(a, s % a.shape[2], 2)
-
-        def grid_sum(z):
-            s = jnp.sum(jnp.sum(z, axis=2, keepdims=True), axis=1,
-                        keepdims=True)
-            return jnp.broadcast_to(s, (bb, 1, 1))
+        def quadrant_sums(z):
+            rows = []
+            for i in range(ph):
+                s = jnp.sum(z[:, i * H:(i + 1) * H, :], axis=1,
+                            keepdims=True)
+                rows.append(jnp.broadcast_to(s, (bb4, H, WP)))
+            z2 = jnp.concatenate(rows, axis=1) if ph > 1 else rows[0]
+            cols = []
+            for j in range(pw):
+                s = jnp.sum(z2[:, :, j * W:(j + 1) * W], axis=2,
+                            keepdims=True)
+                cols.append(jnp.broadcast_to(s, (bb4, HP, W)))
+            return jnp.concatenate(cols, axis=2) if pw > 1 else cols[0]
 
         def rhs(z):
-            Fx = psi_ax[None] * (rx(z, -1) - z) * inv_hx
-            Fy = psi_ay[None] * (ry(z, -1) - z) * inv_hy
-            div = (Fx - rx(Fx, 1)) * inv_hx + (Fy - ry(Fy, 1)) * inv_hy
+            # z_{i+1}: plain roll -1; each env's row H-1 must instead wrap
+            # to its own row 0 (= packed roll by +(H-1) at the seam rows).
+            zxp = nb(z, 1, mrl, -1, H - 1, HP)
+            zyp = nb(z, 2, mcl, -1, W - 1, WP)
+            Fx = psi_ax[None] * (zxp - z) * inv_hx
+            Fy = psi_ay[None] * (zyp - z) * inv_hy
+            # F_{i-1}: plain roll +1; each env's row 0 wraps to its own
+            # row H-1 (= packed roll by -(H-1) at the seam rows).
+            Fxm = nb(Fx, 1, mrf, 1, -(H - 1), HP)
+            Fym = nb(Fy, 2, mcf, 1, -(W - 1), WP)
+            div = (Fx - Fxm) * inv_hx + (Fy - Fym) * inv_hy
             m = mu_fn(z) - kop[None] * div
             j = j0_fn(z)
             em = jnp.exp(0.5 * m)
             inv_em = 1.0 / em
-            ip = grid_sum(j * em * psic[None])
-            im = grid_sum(j * inv_em * psic[None])
-            y = (-crate + jnp.sqrt(crate * crate + 4.0 * ip * im)) / (
-                2.0 * ip
-            )
+            ip = quadrant_sums(j * em * psic[None])
+            im = quadrant_sums(j * inv_em * psic[None])
+            y = (-CQ + jnp.sqrt(CQ * CQ + 4.0 * ip * im)) / (2.0 * ip)
             return j * (inv_em / y - em * y)
 
         def rk4(z):
@@ -174,14 +218,24 @@ def make_sbm_bv_fused_macro(
         else:
             u = jax.lax.fori_loop(0, n_steps, lambda _i, z: rk4(z), u)
 
-        out_ref[:] = u.astype(out_ref.dtype)
+        out_ref[:] = _unpack_field(u, ph, pw, H, W).astype(out_ref.dtype)
 
     def _run(x, crate_b):
         B = x.shape[0]
-        # Cap the block at the next power of two >= B so a small/debug
-        # fleet is not padded up to the full VMEM-derived block.
-        bb = block_envs or min(_pick_block(H, W),
-                               1 << max(0, B - 1).bit_length())
+        if block_envs is not None:
+            if block_envs % pack:
+                raise ValueError(
+                    f"block_envs {block_envs} must be divisible by {pack}"
+                )
+            bb = block_envs
+        else:
+            # Cap the block at the next power of two >= B so a small/debug
+            # fleet is not padded up to the full VMEM-derived block.
+            need4 = -(-B // pack)
+            pow2 = 1 << (need4 - 1).bit_length()
+            bb = pack * min(
+                _pick_block_packed(HP, WP, live_buffers=12), pow2
+            )
         Bp = -(-B // bb) * bb
         if Bp != B:
             reps = Bp - B
@@ -191,11 +245,13 @@ def make_sbm_bv_fused_macro(
                 [crate_b, jnp.broadcast_to(crate_b[-1:], (reps, 1, 1))], 0)
 
         consts = [
-            jnp.asarray(psi_ax_np), jnp.asarray(psi_ay_np),
-            jnp.asarray(kop_np), jnp.asarray(psic_np),
+            jnp.asarray(_tile(psi_ax_np)), jnp.asarray(_tile(psi_ay_np)),
+            jnp.asarray(_tile(kop_np)), jnp.asarray(_tile(psic_np)),
+            jnp.asarray(row_last), jnp.asarray(row_first),
+            jnp.asarray(col_last), jnp.asarray(col_first),
         ]
         const_specs = [
-            pl.BlockSpec((H, W), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((HP, WP), lambda i: (0, 0), memory_space=pltpu.VMEM)
             for _ in consts
         ]
         field_spec = pl.BlockSpec((bb, H, W), lambda i: (i, 0, 0),
