@@ -37,6 +37,7 @@ def make_cahn_hilliard_control_env(
     vectorized_control: bool = True,
     spectral_solve: str = "fft",
     obs_downsample: int = 1,
+    fused_epilogue: bool | None = None,
 ) -> VectorPDEEnv:
     """64×64 Cahn-Hilliard control fleet: the agent drives κ (interface width).
 
@@ -104,6 +105,29 @@ def make_cahn_hilliard_control_env(
             y = y.reshape(*b, h // ds, ds, w // ds, ds).mean(axis=(-3, -1))
         return jnp.clip(y * 255.0, 0, 255).astype(jnp.uint8)[..., None, :, :]
 
+    # Fused env epilogue (default ON for the fused kernel): reward
+    # (-var), the divergence flag and the uint8 obs all come out of the
+    # Pallas macro itself instead of 2-3 extra full-field HBM passes.
+    # reward_from_stats MUST stay semantically equal to reward_function
+    # (-var = -(E[y^2] - E[y]^2)) and the kernel obs to ``observe`` —
+    # reset() and the auto-reset branch still use the XLA versions.
+    if fused_epilogue is None:
+        fused_epilogue = spectral_solve == "fused" and vectorized_control
+    ep_cfg = None
+    if fused_epilogue:
+        ep_cfg = {
+            "obs_scale": 255.0,
+            "obs_offset": 0.0,
+            "obs_downsample": ds,
+            # Centered moments around the 0.5 operating point: the same
+            # -var formula, but cancellation-free (see cas_spectral).
+            "stats_center": 0.5,
+            "reward_from_stats": lambda s1, s2, cnt, n: -(
+                s2 / n - (s1 / n) ** 2
+            ),
+            "obs_transform": lambda o: o[..., None, :, :],
+        }
+
     return VectorPDEEnv(
         equation_type=CahnHilliard2DPeriodic,
         domain=domain,
@@ -139,6 +163,7 @@ def make_cahn_hilliard_control_env(
         num_envs=num_envs,
         auto_reset=auto_reset,
         vectorized_control=vectorized_control,
+        fused_epilogue=ep_cfg,
     )
 
 

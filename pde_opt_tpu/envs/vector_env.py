@@ -101,6 +101,7 @@ class VectorPDEEnv:
         num_envs: int = 1,
         auto_reset: bool = True,
         vectorized_control: bool = False,
+        fused_epilogue: Optional[Dict[str, Any]] = None,
     ):
         self.equation_type = equation_type
         self.domain = domain
@@ -133,6 +134,22 @@ class VectorPDEEnv:
         # This is the fast path: it admits fused (Pallas) RHS kernels that
         # cannot sit under vmap.
         self.vectorized_control = vectorized_control
+        # fused_epilogue: opt-in fast path — the fused Pallas macro itself
+        # emits per-env [sum, sumsq, n_finite] stats and the uint8
+        # observation while the final field is still VMEM-resident, and the
+        # step derives reward/divergence/obs from those instead of
+        # re-reading the full field from HBM 2-3 more times (the measured
+        # ~27% env-side overhead of the flagship step; VERDICT r4 item 1).
+        # Keys: obs_scale, obs_offset, obs_downsample (kernel contract,
+        # ops/cas_spectral.make_ch_cas_fused_macro_ep),
+        # reward_from_stats: (s1, s2, n_finite, n_px) -> per-env reward,
+        # obs_transform: kernel obs -> observation pytree (default adds the
+        # leading channel axis).  The preset that installs this MUST keep
+        # reward_function / state_to_observation_func semantically
+        # equivalent: they still serve reset() and the auto-reset branch.
+        if fused_epilogue is not None and not vectorized_control:
+            raise ValueError("fused_epilogue requires vectorized_control")
+        self.fused_epilogue = fused_epilogue
 
         cfg = dict(action_space_config)
         self.action_type = cfg.get("type", "continuous")
@@ -230,8 +247,13 @@ class VectorPDEEnv:
                     "offset against the (B,) control (use off[..., 0])."
                 )
 
-    def _advance_batched(self, y, cv, actions):
-        """Whole-fleet macro-step through one batch-transparent equation."""
+    def _advance_batched(self, y, cv, actions, ep_cfg=None):
+        """Whole-fleet macro-step through one batch-transparent equation.
+
+        With ``ep_cfg`` (the ``fused_epilogue`` config) the solver's
+        ``evolve_with_epilogue`` hook is used and ``(y1, new_cv, stats,
+        obs)`` is returned; otherwise ``(y1, new_cv)``.
+        """
         offset = actions
         if self.action_type == "discrete":
             offset = self._action_table[actions]
@@ -248,6 +270,22 @@ class VectorPDEEnv:
         solver = self.solver_type(
             **prepare_solver_params(self.solver_type, self.solver_parameters, eq)
         )
+        if ep_cfg is not None:
+            own = getattr(solver, "evolve_with_epilogue", None)
+            if own is None:
+                raise TypeError(
+                    f"{type(solver).__name__} does not support "
+                    "fused_epilogue (no evolve_with_epilogue hook)"
+                )
+            y1, stats, obs = own(
+                eq.rhs, y, 0.0, self.dt_sub, self.n_substeps, ep_cfg
+            )
+            if y1.shape != y.shape:
+                raise ValueError(
+                    f"macro-step changed the state shape {y.shape} -> "
+                    f"{y1.shape} (check update_control_parameter)"
+                )
+            return y1, new_cv, stats, obs
         y1 = evolve(solver, eq.rhs, y, 0.0, self.dt_sub, self.n_substeps)
         if y1.shape != y.shape:
             raise ValueError(
@@ -258,27 +296,60 @@ class VectorPDEEnv:
         return y1, new_cv
 
     def _step_impl(self, state: EnvState, actions):
-        if self.vectorized_control:
-            y1, cv1 = self._advance_batched(state.y, state.control_value, actions)
-        else:
-            y1, cv1 = jax.vmap(self._advance_single)(
-                state.y, state.control_value, actions, state.t
+        ep = self.fused_epilogue
+        if ep is not None:
+            # Fused epilogue: the Pallas macro itself emitted per-env
+            # [sum, sumsq, n_finite] and the uint8 obs — reward and the
+            # divergence flag are derived from those scalars, so the step
+            # adds NO extra full-field HBM passes over the state write.
+            y1, cv1, stats, obs_k = self._advance_batched(
+                state.y, state.control_value, actions, ep_cfg=ep
             )
-        t1 = state.t + self.step_dt
-        steps1 = state.step_count + 1
-        # Per-env divergence mask: a non-finite field terminates (and, under
-        # auto_reset, resets) that env without stalling the lockstep fleet —
-        # the env-fleet analog of elastic failure recovery.
-        diverged = ~jnp.isfinite(y1).reshape(y1.shape[0], -1).all(axis=1)
-        terminated = (t1 >= self.end_time - 1e-9) | diverged
-        reward = jax.vmap(self.reward_function)(y1)
-        reward = jnp.where(diverged, jnp.zeros_like(reward), reward)
-        # Scrub NaNs so downstream obs/learner code never sees them.
-        y1 = jnp.where(
-            diverged.reshape((-1,) + (1,) * (y1.ndim - 1)), jnp.zeros_like(y1), y1
-        )
-        obs = self.state_to_observation_func(y1)
-        info = {"diverged": diverged}
+            n_px = y1.shape[-2] * y1.shape[-1]
+            s1, s2, cnt = stats[..., 0], stats[..., 1], stats[..., 2]
+            diverged = cnt < (n_px - 0.5)
+            reward = ep["reward_from_stats"](s1, s2, cnt, n_px)
+            reward = jnp.where(diverged, jnp.zeros_like(reward), reward)
+            obs = ep.get("obs_transform", lambda o: o[..., None, :, :])(obs_k)
+            t1 = state.t + self.step_dt
+            steps1 = state.step_count + 1
+            terminated = (t1 >= self.end_time - 1e-9) | diverged
+            if not self.auto_reset:
+                # Without auto-reset the caller keeps stepping the fleet:
+                # scrub NaN fields as the XLA path does.  (Under
+                # auto_reset the reset branch below replaces diverged
+                # fields wholesale — no scrub pass needed.)
+                y1 = jnp.where(
+                    diverged.reshape((-1,) + (1,) * (y1.ndim - 1)),
+                    jnp.zeros_like(y1), y1,
+                )
+            info = {"diverged": diverged}
+        else:
+            if self.vectorized_control:
+                y1, cv1 = self._advance_batched(
+                    state.y, state.control_value, actions
+                )
+            else:
+                y1, cv1 = jax.vmap(self._advance_single)(
+                    state.y, state.control_value, actions, state.t
+                )
+            t1 = state.t + self.step_dt
+            steps1 = state.step_count + 1
+            # Per-env divergence mask: a non-finite field terminates (and,
+            # under auto_reset, resets) that env without stalling the
+            # lockstep fleet — the env-fleet analog of elastic failure
+            # recovery.
+            diverged = ~jnp.isfinite(y1).reshape(y1.shape[0], -1).all(axis=1)
+            terminated = (t1 >= self.end_time - 1e-9) | diverged
+            reward = jax.vmap(self.reward_function)(y1)
+            reward = jnp.where(diverged, jnp.zeros_like(reward), reward)
+            # Scrub NaNs so downstream obs/learner code never sees them.
+            y1 = jnp.where(
+                diverged.reshape((-1,) + (1,) * (y1.ndim - 1)),
+                jnp.zeros_like(y1), y1,
+            )
+            obs = self.state_to_observation_func(y1)
+            info = {"diverged": diverged}
 
         if self.auto_reset:
             # The reset work (fleet-wide RNG field generation + selects +

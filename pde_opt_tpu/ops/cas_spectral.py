@@ -71,6 +71,7 @@ from .fused_spectral import _fd_lap_symbols, ch_sif_macro_reference
 
 __all__ = [
     "make_ch_cas_fused_macro",
+    "make_ch_cas_fused_macro_ep",
     "make_ac_cas_fused_macro",
     "ch_cas_macro_reference",
 ]
@@ -199,6 +200,7 @@ def make_ch_cas_fused_macro(
     block_envs: Optional[int] = None,
     interpret: Optional[bool] = None,
     mats_dtype=jnp.bfloat16,
+    epilogue: Optional[dict] = None,
 ):
     """Build ``macro(u, kappa) -> u1`` advancing ``n_steps`` fused substeps.
 
@@ -216,10 +218,17 @@ def make_ch_cas_fused_macro(
             ``(128//H)*(128//W)`` for small grids).
         interpret: force interpret mode (default: on for non-TPU backends).
         mats_dtype: matmul operand dtype (bf16 default; f32 for testing).
+        epilogue: optional env-epilogue config — when given, the macro
+            additionally emits, from the SAME kernel while the final field
+            is still VMEM-resident, the per-env statistics and observation
+            the RL env step needs (killing the 2-3 extra full-field HBM
+            passes of the XLA env epilogue; see
+            :func:`make_ch_cas_fused_macro_ep` for the contract).
 
     Returns a function taking ``u`` of shape (..., H, W) (leading axes are
     env batch) and ``kappa`` broadcastable to the batch, returning the
-    advanced field (same shape/dtype as ``u``).
+    advanced field (same shape/dtype as ``u``) — or, with ``epilogue``,
+    the ``(u1, stats, obs)`` triple of :func:`make_ch_cas_fused_macro_ep`.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -426,8 +435,7 @@ def make_ch_cas_fused_macro(
     def _core_fwd(x, kapf):
         return _core(x, kapf), (x, kapf)
 
-    def _core_bwd(res, g):
-        x, kapf = res
+    def _run_bwd(x, kapf, g):
         B = x.shape[0]
         kap = kapf.reshape(B, 1, 1)
         # Backward holds ~12 live packed buffers plus the n_steps-deep
@@ -464,13 +472,21 @@ def make_ch_cas_fused_macro(
             du, dkap = du[:B], dkap[:B]
         return du, dkap.astype(kapf.dtype)
 
+    def _core_bwd(res, g):
+        x, kapf = res
+        return _run_bwd(x, kapf, g)
+
     _core.defvjp(_core_fwd, _core_bwd)
 
-    def macro(state, kappa):
+    def _norm_kappa(state):
         *batch, h, w = state.shape
         if (h, w) != (H, W):
             raise ValueError(f"state trailing shape {(h, w)} != {(H, W)}")
         B = math.prod(batch) if batch else 1
+        return batch, B
+
+    def macro(state, kappa):
+        batch, B = _norm_kappa(state)
         x = state.reshape(B, H, W)
         kap = jnp.asarray(kappa, jnp.float32)
         # Normalize kappa to a flat (B,) vector for the custom-VJP core;
@@ -481,7 +497,242 @@ def make_ch_cas_fused_macro(
         out = _core(x, kapf)
         return out.reshape(*batch, H, W)
 
-    return macro
+    if epilogue is None:
+        return macro
+
+    # ------------------------------------------------------------------
+    # Env-epilogue variant: one kernel emits (u1, per-env stats, obs).
+    #
+    # Replaces the XLA env epilogue's separate full-field HBM passes
+    # (reward variance, isfinite divergence scan, uint8 observation —
+    # ``envs/vector_env.py``) with in-VMEM work on the final field.
+    # Mosaic constraints (measured, scripts/probe_epilogue_ops.py):
+    # f32->uint8 must go through int32; reduction results cannot be
+    # re-broadcast across sublanes AND lanes (so the per-env NaN scrub
+    # stays OUTSIDE — the env's auto-reset replaces diverged fields
+    # anyway); small (bb4, 3*ph, pw) stat output blocks are fine.
+    # ------------------------------------------------------------------
+    obs_scale = float(epilogue.get("obs_scale", 255.0))
+    obs_offset = float(epilogue.get("obs_offset", 0.0))
+    # Stats are CENTERED moments sum(u-c), sum((u-c)^2): with c at the
+    # field's operating point (0.5 for the CH preset) the env's variance
+    # reward -(s2/n - (s1/n)^2) is cancellation-free — the raw-moment form
+    # loses ~7 significant digits right after reset (var ~1e-6 on fields
+    # ~0.5, f32).  The mean, when needed, is s1/n + c.
+    center = float(epilogue.get("stats_center", 0.0))
+    ds = int(epilogue.get("obs_downsample", 1))
+    if H % ds or W % ds:
+        raise ValueError(f"obs_downsample={ds} must divide {(H, W)}")
+    Hd, Wd = H // ds, W // ds
+
+    if ds > 1:
+        # Mean-pool as two tiny matmuls (MXU) on the unpacked field —
+        # in-kernel reshape-pooling is not Mosaic-lowerable.
+        PH_np = np.zeros((H, Hd), np.float32)
+        PH_np[np.arange(H), np.arange(H) // ds] = 1.0 / ds
+        PW_np = np.zeros((W, Wd), np.float32)
+        PW_np[np.arange(W), np.arange(W) // ds] = 1.0 / ds
+
+    def pool_contract(x3, m2):
+        # f32 pooling at HIGHEST precision: keeps the pooled obs within
+        # 1 uint8 LSB of the XLA mean-pool the env otherwise computes.
+        return jax.lax.dot_general(
+            x3, m2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def _qscal(z):
+        """Packed (bb4, HP, WP) -> per-env-quadrant sums (bb4, ph, pw)."""
+        rows = [jnp.sum(z[:, i * H:(i + 1) * H, :], axis=1, keepdims=True)
+                for i in range(ph)]
+        z2 = jnp.concatenate(rows, axis=1) if ph > 1 else rows[0]
+        cols = [jnp.sum(z2[:, :, j * W:(j + 1) * W], axis=2, keepdims=True)
+                for j in range(pw)]
+        return jnp.concatenate(cols, axis=2) if pw > 1 else cols[0]
+
+    def kernel_ep(u_ref, kap_ref, ch_ref, cw_ref, ich_ref, icw_ref,
+                  lamQ_ref, lam2Q_ref, *rest):
+        if ds > 1:
+            ph_ref, pw_ref, out_ref, stats_ref, obs_ref = rest
+        else:
+            out_ref, stats_ref, obs_ref = rest
+        lamQ = lamQ_ref[:]
+        lam2Q = lam2Q_ref[:]
+        u = _pack_field(u_ref[:].astype(jnp.float32), ph, pw)
+        kQ = _pack_kappa(kap_ref[:].astype(jnp.float32), ph, pw, H, W)
+        _, cm, cu = coeffs(kQ, lamQ, lam2Q)
+        fwd, inv = make_transforms(ch_ref[:], cw_ref[:], ich_ref[:],
+                                   icw_ref[:])
+
+        u_t = fwd(u)
+        for _ in range(n_steps):
+            incr = cm * fwd(mu_fn(u)) - cu * u_t
+            u_t = u_t + incr
+            u = u + inv(incr)
+
+        # --- epilogue on the VMEM-resident final field ---
+        fin = (u - u == 0.0).astype(jnp.float32)      # 1.0 where finite
+        um = u - center
+        uz = jnp.where(fin > 0.5, um, jnp.zeros_like(u))
+        stats_ref[:] = jnp.concatenate(
+            [_qscal(uz), _qscal(uz * uz), _qscal(fin)], axis=1
+        )                                             # (bb4, 3*ph, pw)
+
+        uu = _unpack_field(u, ph, pw, H, W)           # (bb, H, W) f32
+        out_ref[:] = uu.astype(out_ref.dtype)
+        finu = (uu - uu == 0.0)
+        uzz = jnp.where(finu, uu, jnp.zeros_like(uu))
+        if ds > 1:
+            # Pool FIRST (matching the env's mean-pool-then-scale obs),
+            # emit f32; the caller scales/clips/casts the tiny pooled
+            # block outside.
+            t1 = pool_contract(uzz, ph_ref[:])        # (bb, W, Hd)
+            obs_ref[:] = pool_contract(t1, pw_ref[:])  # (bb, Hd, Wd)
+        else:
+            ob = jnp.clip(uzz * obs_scale + obs_offset, 0.0, 255.0)
+            obs_ref[:] = ob.astype(jnp.int32).astype(jnp.uint8)
+
+    def _stats_to_envs(sb):
+        """(B4, 3*ph, pw) stat block -> (B, 3) rows [sum, sumsq, n_finite]
+        in :func:`_pack_field` env order (env = (b4*pw + j)*ph + i)."""
+        outs = []
+        for k in range(3):
+            parts = [sb[:, k * ph + i, j]
+                     for j in range(pw) for i in range(ph)]
+            col = (jnp.stack(parts, axis=1).reshape(-1)
+                   if pack > 1 else parts[0])
+            outs.append(col)
+        return jnp.stack(outs, axis=1)
+
+    @jax.custom_vjp
+    def _core_ep(x, kapf):
+        B = x.shape[0]
+        kap = kapf.reshape(B, 1, 1)
+        bb = _choose_block(B, 9)
+        (x, kap), Bp = _pad([x, kap], B, bb)
+        consts = _consts()
+        if ds > 1:
+            consts = consts + [jnp.asarray(PH_np), jnp.asarray(PW_np)]
+        field_spec, kap_spec, const_specs = _grid_specs(bb, consts)
+        stats_spec = pl.BlockSpec((bb // pack, 3 * ph, pw),
+                                  lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        if ds > 1:
+            obs_spec = pl.BlockSpec((bb, Hd, Wd), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            obs_shape = jax.ShapeDtypeStruct((Bp, Hd, Wd), jnp.float32)
+        else:
+            obs_spec = pl.BlockSpec((bb, H, W), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            obs_shape = jax.ShapeDtypeStruct((Bp, H, W), jnp.uint8)
+        out, sb, obs = pl.pallas_call(
+            kernel_ep,
+            grid=(Bp // bb,),
+            in_specs=[field_spec, kap_spec, *const_specs],
+            out_specs=(field_spec, stats_spec, obs_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((Bp, H, W), x.dtype),
+                jax.ShapeDtypeStruct((Bp // pack, 3 * ph, pw), jnp.float32),
+                obs_shape,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n_steps * Bp * H * W * (2 * HP + 2 * WP),
+                bytes_accessed=2 * Bp * H * W * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x, kap, *consts)
+        stats = _stats_to_envs(sb)
+        if Bp != B:
+            out, stats, obs = out[:B], stats[:B], obs[:B]
+        return out, stats, obs
+
+    def _core_ep_fwd(x, kapf):
+        out = _core_ep(x, kapf)
+        return out, (x, kapf, out[0])
+
+    def _core_ep_bwd(res, cots):
+        # stats cotangents fold into the field cotangent at u1
+        # (s1 = sum(uz), s2 = sum(uz^2) with uz the NaN-masked field; the
+        # finite-count has zero gradient a.e.); the obs output is
+        # stop-gradient by design (it ends in uint8 either way).
+        x, kapf, u1 = res
+        gu, gstats, _gobs = cots
+        fin = jnp.isfinite(u1)
+        uz = jnp.where(fin, u1 - center, jnp.zeros_like(u1))
+        g = gu + jnp.where(
+            fin,
+            gstats[:, 0, None, None] + 2.0 * uz * gstats[:, 1, None, None],
+            jnp.zeros_like(u1),
+        ).astype(gu.dtype)
+        return _run_bwd(x, kapf, g)
+
+    _core_ep.defvjp(_core_ep_fwd, _core_ep_bwd)
+
+    def macro_ep(state, kappa):
+        batch, B = _norm_kappa(state)
+        x = state.reshape(B, H, W)
+        kap = jnp.asarray(kappa, jnp.float32)
+        kapf = (jnp.broadcast_to(kap, (B,)) if kap.ndim <= 1
+                else kap.reshape(B))
+        u1, stats, obs = _core_ep(x, kapf)
+        if ds > 1:
+            obs = jnp.clip(obs * obs_scale + obs_offset, 0.0, 255.0
+                           ).astype(jnp.uint8)
+        return (u1.reshape(*batch, H, W),
+                stats.reshape(*batch, 3),
+                obs.reshape(*batch, Hd, Wd))
+
+    return macro_ep
+
+
+def make_ch_cas_fused_macro_ep(
+    mu_fn: Callable,
+    H: int,
+    W: int,
+    hx: float,
+    hy: float,
+    A: float,
+    dt: float,
+    n_steps: int,
+    *,
+    obs_scale: float = 255.0,
+    obs_offset: float = 0.0,
+    obs_downsample: int = 1,
+    stats_center: float = 0.0,
+    block_envs: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    mats_dtype=jnp.bfloat16,
+):
+    """Fused CH macro WITH the env epilogue: ``macro(u, kappa) -> (u1, stats, obs)``.
+
+    Same physics as :func:`make_ch_cas_fused_macro`; additionally the SAME
+    Pallas kernel emits, while the final field is still VMEM-resident:
+
+    * ``stats``: (..., 3) f32 per env —
+      ``[sum(u-c), sum((u-c)**2), n_finite]`` over the finite pixels, with
+      ``c = stats_center`` (centered moments: pick c at the field's
+      operating point and the variance reward ``-(s2/n - (s1/n)**2)`` is
+      cancellation-free).  The env derives reward and the divergence flag
+      (``n_finite < H*W``) from these scalars instead of re-reading the
+      full field from HBM
+      (reference per-step obs/reward: ``pde_env.py:305-317``).
+    * ``obs``: (..., H/ds, W/ds) uint8 — ``clip(pool(uz)*obs_scale +
+      obs_offset, 0, 255)`` with ``ds = obs_downsample`` mean-pooling done
+      as two small MXU matmuls in-kernel.
+
+    Differentiable w.r.t. ``(u, kappa)`` through ``u1`` AND ``stats``
+    (custom VJP folds the stats cotangent into the field cotangent before
+    the backward kernel); ``obs`` is stop-gradient (it is uint8).
+    """
+    return make_ch_cas_fused_macro(
+        mu_fn, H, W, hx, hy, A, dt, n_steps,
+        block_envs=block_envs, interpret=interpret, mats_dtype=mats_dtype,
+        epilogue={"obs_scale": obs_scale, "obs_offset": obs_offset,
+                  "obs_downsample": obs_downsample,
+                  "stats_center": stats_center},
+    )
 
 
 def make_ac_cas_fused_macro(

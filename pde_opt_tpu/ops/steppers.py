@@ -377,6 +377,48 @@ class FusedSemiImplicitSpectral(AbstractStepper):
         kappa = _normalize_per_env_control(self.kappa, y0.shape[:-2], "kappa")
         return self._macro(dt, n_steps)(y0, kappa)
 
+    def evolve_with_epilogue(self, rhs, y0, t0, dt, n_steps, ep_cfg):
+        """Advance ``n_steps`` substeps AND emit the env epilogue from the
+        same kernel: ``(y1, stats, obs)`` per
+        :func:`pde_opt_tpu.ops.cas_spectral.make_ch_cas_fused_macro_ep`.
+
+        ``ep_cfg`` keys: ``obs_scale``, ``obs_offset``, ``obs_downsample``.
+        The hook :class:`pde_opt_tpu.envs.vector_env.VectorPDEEnv` uses to
+        kill the separate reward/isfinite/obs full-field HBM passes of the
+        XLA env epilogue (reference per-step obs/reward:
+        ``pde_env.py:305-317``).
+        """
+        del rhs, t0
+        if self.algo != "cas":
+            raise NotImplementedError(
+                "fused env epilogue requires algo='cas'"
+            )
+        if isinstance(dt, jax.core.Tracer):
+            raise TypeError(
+                "FusedSemiImplicitSpectral requires trace-time concrete dt"
+            )
+        kappa = _normalize_per_env_control(self.kappa, y0.shape[:-2], "kappa")
+        H, W = self.domain.points
+        hx, hy = self.domain.dx
+        from .cas_spectral import make_ch_cas_fused_macro
+
+        kwargs = {}
+        if self.mats_dtype is not None:
+            kwargs["mats_dtype"] = self.mats_dtype
+        macro = make_ch_cas_fused_macro(
+            self.mu, H, W, float(hx), float(hy), self.A, float(dt),
+            int(n_steps), block_envs=self.block_envs,
+            interpret=self.interpret,
+            epilogue={
+                "obs_scale": float(ep_cfg.get("obs_scale", 255.0)),
+                "obs_offset": float(ep_cfg.get("obs_offset", 0.0)),
+                "obs_downsample": int(ep_cfg.get("obs_downsample", 1)),
+                "stats_center": float(ep_cfg.get("stats_center", 0.0)),
+            },
+            **kwargs,
+        )
+        return macro(y0, kappa)
+
     def step(self, rhs, y, t, dt):
         y1 = self.evolve(rhs, y, t, dt, 1)
         return y1, None

@@ -103,14 +103,18 @@ class ShardedVectorPDEEnv:
         env = self.env
 
         def body(carry, _):
-            st, k = carry
+            st, obs, k = carry
             k, ak = jax.random.split(k)
-            obs = env.state_to_observation_func(st.y)
             actions = policy_fn(obs, ak)
             st, obs, reward, terminated, truncated, _ = self._step(st, actions)
-            return (st, k), (reward, terminated)
+            return (st, obs, k), (reward, terminated)
 
-        (state, _), (rewards, terms) = jax.lax.scan(
-            body, (state, key), None, length=n_steps
+        # The obs a step returns IS the next state's observation (same
+        # carry discipline as VectorPDEEnv.make_rollout): each state is
+        # observed exactly once per step — with the fused epilogue, by the
+        # Pallas macro itself.
+        obs0 = env.state_to_observation_func(state.y)
+        (state, _, _), (rewards, terms) = jax.lax.scan(
+            body, (state, obs0, key), None, length=n_steps
         )
         return state, rewards, terms

@@ -129,7 +129,12 @@ def test_sharded_fused_flagship_matches_single_device():
         state_s, obs_s, rs, *_ = senv.step(state_s, acts)
     np.testing.assert_array_equal(np.asarray(state_l.y),
                                   np.asarray(state_s.y))
-    np.testing.assert_array_equal(np.asarray(rl), np.asarray(rs))
+    # Fields are bitwise; the fused-epilogue reward is a per-env quadrant
+    # sum whose accumulation order depends on the kernel block size (which
+    # differs between the 2-env shards and the full fleet) — exact to f32
+    # summation-order rounding only.
+    np.testing.assert_allclose(np.asarray(rl), np.asarray(rs),
+                               rtol=1e-5, atol=1e-10)
     assert len(state_s.y.sharding.device_set) == n_dev
 
 
