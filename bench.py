@@ -116,6 +116,25 @@ def _cas_substep_flops(H, W):
     return 2 * (2 * H * W * (HP + WP))
 
 
+def _mfu_for(rate_substeps_per_s, flops_per_substep):
+    """MFU for a per-substep matmul flops model (None off-TPU).
+
+    Every MXU-matmul config carries an ``mfu`` so a kernel-efficiency
+    regression is visible through relay throughput variance (the raw rates
+    swing >10x between relay health windows — docs/performance.md);
+    VPU/stencil kernels carry ``mfu: None`` + ``mfu_note`` instead.
+    """
+    (peak_flops, _), _ = _device_peaks()
+    if not (rate_substeps_per_s and peak_flops):
+        return None
+    return round(rate_substeps_per_s * flops_per_substep / peak_flops, 3)
+
+
+_VPU_NOTE = ("roll-stencil VPU kernel (no MXU matmuls): MXU MFU not "
+             "applicable; regressions tracked by rate + the dispatch-"
+             "cancelling slope profile")
+
+
 def run_flagship():
     import jax
 
@@ -204,7 +223,16 @@ def run_ac64():
         spectral_solve="fused",
     )
     rate, _ = _rollout_rate(env, NUM_ENVS, 50, key0=20)
-    return {"env_steps_per_s": round(rate, 1)} if rate else None
+    if not rate:
+        return None
+    # Identity-R fast path: 3 cas transforms (6 matmuls)/substep vs the CH
+    # kernel's 2 (ops/cas_spectral.make_ac_cas_fused_macro docstring).
+    f_ac = 3 * _cas_substep_flops(GRID, GRID) // 2
+    return {
+        "env_steps_per_s": round(rate, 1),
+        "mfu": _mfu_for(rate * SUBSTEPS, f_ac),
+        "mfu_model": "3 cas transforms/substep (identity-R fast path)",
+    }
 
 
 def _bv_rate(method, grid):
@@ -213,7 +241,12 @@ def _bv_rate(method, grid):
     env = make_butler_volmer_control_env(num_envs=2048, grid_size=grid,
                                          substeps=SUBSTEPS, method=method)
     rate, _ = _rollout_rate(env, 2048, 40, key0=80)
-    return {"env_steps_per_s": round(rate, 1)} if rate else None
+    if not rate:
+        return None
+    out = {"env_steps_per_s": round(rate, 1), "mfu": None}
+    out["mfu_note"] = (_VPU_NOTE if method == "fused"
+                       else "XLA RK4 comparison path")
+    return out
 
 
 def run_bv_fused_64():
@@ -239,7 +272,10 @@ def run_sbm_bv():
     env = make_sbm_butler_volmer_control_env(num_envs=1024, grid_size=64,
                                              substeps=SUBSTEPS)
     rate, _ = _rollout_rate(env, 1024, 40, key0=90)
-    return {"env_steps_per_s": round(rate, 1)} if rate else None
+    if not rate:
+        return None
+    return {"env_steps_per_s": round(rate, 1), "mfu": None,
+            "mfu_note": _VPU_NOTE}
 
 
 def run_gpe64():
@@ -255,6 +291,12 @@ def run_gpe64():
         rate, _ = _rollout_rate(env, 1024, 50, key0=30)
         if rate:
             out[f"{mode}_env_steps_per_s"] = round(rate, 1)
+            if mode == "fused":
+                # 5 cas transforms/substep (ops/gpe_cas.py cost model);
+                # the VPU phase polys add no MXU flops.
+                f_gpe = 5 * _cas_substep_flops(GRID, GRID) // 2
+                out["mfu"] = _mfu_for(rate * SUBSTEPS, f_gpe)
+                out["mfu_model"] = "5 cas transforms/substep (fused kernel)"
             _emit_partial(out)
     return out or None
 
@@ -317,6 +359,10 @@ def run_gpe_rot():
     fast_rate, y = rate(jax.jit(lambda y: macro(y)), 8)
     if fast_rate:
         out["matmul_field_substeps_per_s"] = round(fast_rate, 1)
+        # 2 packed-complex ADI sweeps/substep, each a (2N, 2N) contraction
+        # over N lines: 2 * 2*(2N)^2*N = 16 N^3 flops per field-substep.
+        out["mfu"] = _mfu_for(fast_rate, 16 * N**3)
+        out["mfu_model"] = "2 packed-complex (2N,2N) ADI sweeps/substep"
         thresh = 0.05 * float(jax.jit(lambda y: jnp.max(jnp.abs(y[0])))(y))
         n_int = np.asarray(jax.device_get(
             jax.jit(lambda y: vortex_winding(y[0], amp_thresh=thresh))(y)))
@@ -383,6 +429,10 @@ def run_ch3d():
     r = rate(cas_run, 10)
     if r:
         out["cas_field_substeps_per_s"] = round(r, 1)
+        # fwd + inv 3D cas transform = 6 axis contractions of depth N:
+        # 6 * 2*N^3*N = 12 N^4 flops per field-substep.
+        out["mfu"] = _mfu_for(r, 12 * N**4)
+        out["mfu_model"] = "6 depth-N axis contractions/substep (3D cas)"
         _emit_partial(out)
     r = rate(fft_run, 3)
     if r:
@@ -452,6 +502,12 @@ def run_ch3d_mobility():
     r = rate(cas_run, 10)          # the headline number first
     if r:
         out["cas_field_substeps_per_s"] = round(r, 1)
+        # Matmul share only: the cas implicit solve is 6 depth-N axis
+        # contractions/substep; the Legendre flux rhs is VPU stencils and
+        # adds no MXU flops (so this understates utilization slightly).
+        out["mfu"] = _mfu_for(r, 12 * N**4)
+        out["mfu_model"] = ("6 depth-N cas contractions/substep "
+                            "(stencil flux rhs not counted)")
         _emit_partial(out)
     r = rate(fft_run, 3)
     if r:
@@ -461,6 +517,86 @@ def run_ch3d_mobility():
             out["cas_field_substeps_per_s"] / out["fft_field_substeps_per_s"],
             2)
     return out or None
+
+
+def run_gpe128():
+    """BASELINE config 5 at its stated size: 128x128 GPE split-step fleet
+    (the 64^2 configs measured both paths; this pins the stated grid)."""
+    from pde_opt_tpu.envs.presets import make_gpe_control_env
+
+    out = {}
+    for mode, steps in (("fused", 25), ("fft", 10)):
+        env = make_gpe_control_env(
+            num_envs=256, grid_size=128, substeps=SUBSTEPS,
+            spectral_solve=mode,
+        )
+        rate, _ = _rollout_rate(env, 256, steps, key0=36)
+        if rate:
+            out[f"{mode}_env_steps_per_s"] = round(rate, 1)
+            if mode == "fused":
+                f_gpe = 5 * _cas_substep_flops(128, 128) // 2
+                out["mfu"] = _mfu_for(rate * SUBSTEPS, f_gpe)
+                out["mfu_model"] = "5 cas transforms/substep (fused kernel)"
+            _emit_partial(out)
+    return out or None
+
+
+def run_train_grad_128():
+    """BASELINE config 3 at its stated size: differentiable NN-control
+    rollout at 128^2 x 4096 envs — value+grad w.r.t. the parameters of an
+    NN that maps per-env field statistics to the kappa control, through
+    the 10-substep fused cas custom-VJP macro (the reference's
+    optimize_nn workload shape, ``notebooks/optimize_nn_script.py:15``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pde_opt_tpu.ops.cas_spectral import make_ch_cas_fused_macro
+
+    B, N, n_sub = 4096, 128, SUBSTEPS
+    mu = lambda c: c**3 - c  # noqa: E731
+    u = 0.5 + 0.01 * jax.random.normal(jax.random.PRNGKey(55), (B, N, N),
+                                       jnp.float32)
+    macro = make_ch_cas_fused_macro(mu, N, N, 0.01, 0.01, 1.0, 1e-3, n_sub)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(56))
+    params = {
+        "w1": 0.5 * jax.random.normal(k1, (2, 32), jnp.float32),
+        "b1": jnp.zeros((32,), jnp.float32),
+        "w2": 0.5 * jax.random.normal(k2, (32, 1), jnp.float32),
+        "b2": jnp.zeros((1,), jnp.float32),
+    }
+
+    def loss(p):
+        feats = jnp.stack(
+            [u.mean(axis=(-2, -1)) - 0.5, u.var(axis=(-2, -1))], axis=-1
+        )
+        h = jnp.tanh(feats @ p["w1"] + p["b1"])
+        kap = 0.002 + 0.008 * jax.nn.sigmoid(h @ p["w2"] + p["b2"])[:, 0]
+        y1 = macro(u, kap)
+        return jnp.sum((y1 - 0.5) ** 2)
+
+    vg = jax.value_and_grad(loss)
+
+    @jax.jit
+    def step(p):
+        v, g = vg(p)
+        return v + sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+
+    out_v = step(params)
+    _ = float(out_v)
+    t0 = time.perf_counter()
+    runs = 5
+    for _i in range(runs):
+        out_v = step(params)
+    _ = float(out_v)
+    dt = time.perf_counter() - t0
+    rate = B * n_sub * runs / dt
+    f_grad = 9 * _cas_substep_flops(N, N) // 2
+    return {
+        "nn_grad_env_substeps_per_s": round(rate, 1),
+        "mfu": _mfu_for(rate, f_grad),
+        "mfu_model": "2 fwd + 7 bwd cas transforms per grad-env-substep",
+    }
 
 
 def run_ppo():
@@ -520,7 +656,11 @@ def run_ppo():
     phys_rate, _ = _rollout_rate(env, B, T, timed_runs=6, key0=72)
     out = {"trained_env_steps_per_s": round(T * B / dt, 1),
            "update_ms": round(1e3 * dt, 1),
-           "policy": "mlp256-bf16"}
+           "policy": "mlp256-bf16",
+           "mfu": None,
+           "mfu_note": ("end-to-end training composite (physics + GAE + "
+                        "learner); kernel MFU is the flagship's, physics "
+                        "share reported below")}
     if phys_rate:
         phys_ms = 1e3 * T * B / phys_rate
         out["physics_ms"] = round(phys_ms, 1)
@@ -601,10 +741,16 @@ def run_train_grad():
     xla_g = rate(xla_grad)
     if not (fused_g and xla_g):
         return None
+    # Per grad-env-substep: 2 forward transforms + 7 backward-kernel
+    # transforms (the Pallas kernels' own cost models, ops/cas_spectral.py)
+    # = 4.5x the forward substep's matmul flops.
+    f_grad = 9 * _cas_substep_flops(N, N) // 2
     return {
         "fused_grad_env_substeps_per_s": round(fused_g, 1),
         "xla_grad_env_substeps_per_s": round(xla_g, 1),
         "fused_vs_xla_speedup": round(fused_g / xla_g, 2),
+        "mfu": _mfu_for(fused_g, f_grad),
+        "mfu_model": "2 fwd + 7 bwd cas transforms per grad-env-substep",
     }
 
 
@@ -614,19 +760,22 @@ def run_train_grad():
 # cap for a number that is already recorded in docs/performance.md).
 CONFIG_REGISTRY = {
     "flagship": (run_flagship, 300),
+    # round-5 first captures at BASELINE-stated sizes (VERDICT r4 item 2)
+    "gpe_strang_128x128_256envs": (run_gpe128, 150),
+    "train_grad_128x128_4096envs": (run_train_grad_128, 150),
+    "ppo_64x64_4096envs": (run_ppo, 330),
     "sbm_bv_64x64_1024envs": (run_sbm_bv, 120),
     "gpe_rot_64x64_512batch": (run_gpe_rot, 220),
-    "ch3d_mobility_32cubed_256batch": (run_ch3d_mobility, 240),
-    "ppo_64x64_4096envs": (run_ppo, 330),
+    "ch3d_mobility_32cubed_256batch": (run_ch3d_mobility, 180),
     "bv_fused_64": (run_bv_fused_64, 150),
-    "train_grad_64x64_1024envs": (run_train_grad, 240),
-    "ch3d_32cubed_256batch_substeps": (run_ch3d, 240),
-    "gpe_strang_64x64_1024envs": (run_gpe64, 200),
-    "ac_64x64_4096envs_fused": (run_ac64, 150),
-    "ch_128x128_1024envs": (run_ch128, 150),
-    "ch_256x256_256batch_substeps": (run_ch256, 150),
-    "bv_xla_64": (run_bv_xla_64, 150),
-    "bv_xla_48": (run_bv_xla_48, 120),
+    "train_grad_64x64_1024envs": (run_train_grad, 200),
+    "ch3d_32cubed_256batch_substeps": (run_ch3d, 180),
+    "gpe_strang_64x64_1024envs": (run_gpe64, 180),
+    "ac_64x64_4096envs_fused": (run_ac64, 120),
+    "ch_128x128_1024envs": (run_ch128, 120),
+    "ch_256x256_256batch_substeps": (run_ch256, 130),
+    "bv_xla_64": (run_bv_xla_64, 140),
+    "bv_xla_48": (run_bv_xla_48, 110),
 }
 
 
@@ -767,6 +916,16 @@ def main():
             _ok, data = _run_child(name, min(cap, max(10.0, remaining())))
             if isinstance(data, dict):
                 data = {**data, "elapsed_s": round(time.perf_counter() - tc, 1)}
+                # Every captured record carries an mfu (or an explicit
+                # null + reason) — the anti-relay-variance contract.
+                if "mfu" not in data and not ("skipped" in data
+                                              or "error" in data):
+                    data["mfu"] = None
+                    data.setdefault(
+                        "mfu_note",
+                        "partial capture before the config's MFU stage "
+                        "(XLA comparison fragment)",
+                    )
             configs[name] = data
 
         # Merge the three BV subprocesses into the historical record shape.

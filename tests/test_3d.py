@@ -8,6 +8,7 @@ with verification the reference itself never had (no 3D MMS or rollout test
 exists upstream).
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +24,7 @@ MU = lambda c: c**3 - c
 DCONST = lambda c: jnp.ones_like(c)
 
 
+@pytest.mark.slow
 def test_rhs_convergence_cahn_hilliard_3d():
     """FD RHS is 2nd-order accurate in 3D (slope ≈ 2 on the grid ladder)."""
     X, Y, Z, T = sp.symbols("x y z t", real=True)

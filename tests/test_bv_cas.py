@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pde_opt_tpu.ops.bv_cas import bv_cc_reference, make_bv_cc_fused_macro
 
@@ -46,6 +47,7 @@ def test_bv_cas_macro_charging_rate_is_galvanostatic():
     np.testing.assert_allclose(rate, np.asarray(crate), rtol=0.02)
 
 
+@pytest.mark.slow
 def test_bv_cas_macro_grads_match_oracle():
     u, crate = _setup(B=2, seed=2)
     N = u.shape[1]

@@ -7,6 +7,7 @@ galvanostatic ψ-weighted charging rate, and gradients w.r.t. state and
 C-rate, batched.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -64,6 +65,7 @@ def test_fused_sbm_bv_charging_rate_is_galvanostatic():
     np.testing.assert_allclose(rate, np.asarray(crate) / area, rtol=0.02)
 
 
+@pytest.mark.slow
 def test_fused_sbm_bv_grads_match_oracle():
     u, crate, psi = _setup(B=2, seed=2)
     N = u.shape[1]

@@ -11,6 +11,7 @@ across seeds — the learning gate requires the trained deterministic
 policy to close most of that gap.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -89,6 +90,7 @@ def test_vortex_census_rewards_vortices():
     assert r_vortex > r_flat + 0.5  # the census term is worth ≥ +1 - noise
 
 
+@pytest.mark.slow
 def test_ppo_learns_to_stir():
     from pde_opt_tpu.rl import ActorCriticConv, PPOConfig, ppo_train
 

@@ -40,6 +40,7 @@ def _ratio(res):
     return res.errors[0] / res.errors[1]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_cahn_hilliard_mms_random_coeffs(seed):
     rng = np.random.default_rng(seed)

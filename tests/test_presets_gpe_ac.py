@@ -8,6 +8,7 @@ reference's GPE-control capability
 (``/root/reference/pde_opt/pde_env.py:43-138`` with GPE2DTSControl).
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,6 +83,7 @@ def test_gpe_env_rollout_and_reward_signal():
     assert float(rewards.max()) < 0.0
 
 
+@pytest.mark.slow
 def test_ppo_trains_on_gpe_control_env():
     env = make_gpe_control_env(num_envs=6, grid_size=16, substeps=2)
     net = ActorCriticConv(action_dim=1, channels=(4,), features=16,
@@ -153,6 +155,7 @@ def test_gpe_fused_env_matches_fft_env():
     assert err < 2e-2 * scale, (err, scale)
 
 
+@pytest.mark.slow
 def test_gpe_fused_env_grad_flows_to_control():
     """Pathwise gradient through the fused GPE macro reaches the action."""
     env = make_gpe_control_env(spectral_solve="fused", num_envs=2,

@@ -17,6 +17,7 @@ it, and the lr=0 counterfactual stays there.  Seeds fixed, ~5-10 s per
 learner on CPU.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -81,6 +82,7 @@ def _random_continuous(env):
         k, (env.num_envs, 1), minval=-1.0, maxval=1.0)
 
 
+@pytest.mark.slow
 def test_ppo_learns_kappa_control():
     from pde_opt_tpu.rl import ActorCriticConv, PPOConfig, ppo_train
 
@@ -108,6 +110,7 @@ def test_ppo_learns_kappa_control():
     assert trained > NEAR_OPT, trained
 
 
+@pytest.mark.slow
 def test_ppo_zero_gradient_counterfactual_fails_the_margin():
     """lr = 0 (the no-gradient mutation): the SAME training protocol must
     NOT pass the learning assertion — proves the margin is sensitive to
@@ -131,6 +134,7 @@ def test_ppo_zero_gradient_counterfactual_fails_the_margin():
     assert not (trained > random_ + MARGIN), (trained, random_)
 
 
+@pytest.mark.slow
 def test_dqn_learns_kappa_control():
     from pde_opt_tpu.rl import DQNConfig, QNetConv, dqn_train
 
@@ -153,6 +157,7 @@ def test_dqn_learns_kappa_control():
     assert trained > NEAR_OPT, trained
 
 
+@pytest.mark.slow
 def test_ddpg_learns_kappa_control():
     from pde_opt_tpu.rl import (
         DDPGConfig,
@@ -181,6 +186,7 @@ def test_ddpg_learns_kappa_control():
     assert trained > NEAR_OPT, trained
 
 
+@pytest.mark.slow
 def test_ppo_mlp_torso_learns_kappa_control():
     """The TPU-native flattened-MLP policy (full-depth matmul torso, the
     PPO bench's fast learner) must clear the same learning gate as the
@@ -205,6 +211,7 @@ def test_ppo_mlp_torso_learns_kappa_control():
     assert trained > NEAR_OPT, trained
 
 
+@pytest.mark.slow
 def test_ppo_chunked_shuffle_learns():
     """The chunked minibatch shuffle (the TPU gather fix: permute
     contiguous same-timestep env blocks instead of samples) must clear

@@ -8,6 +8,7 @@ pure-numpy golden (field AND ψ-weighted voltage trace), and the env preset
 balance the closure enforces.
 """
 
+import pytest
 import os
 
 import jax
@@ -128,6 +129,7 @@ def test_sbm_preset_crate_control_affects_charging_rate():
     assert float(fill[0]) > float(fill[1])
 
 
+@pytest.mark.slow
 def test_sbm_preset_smooth_geometry_pipeline():
     """The Shape smoothing-flow path (the reference pipeline) constructs
     and produces a particle-interior ψ usable by the fleet."""

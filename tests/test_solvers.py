@@ -65,6 +65,7 @@ def test_1d_allen_cahn_adaptive_tsit5():
     _check_interface(ys[-1], domain, Nx)
 
 
+@pytest.mark.slow
 def test_2d_gross_pitaevskii_thomas_fermi():
     atoms = 5e5
     hbar = 1.05e-34
@@ -210,6 +211,7 @@ def test_implicit_euler_dahlquist():
     assert float(y[0]) < 1.0
 
 
+@pytest.mark.slow
 def test_implicit_euler_stiff_diffusion():
     """Implicit Euler integrates 1D diffusion far beyond the explicit limit."""
     N = 64
