@@ -566,28 +566,30 @@ def run_train_grad_128():
         "b2": jnp.zeros((1,), jnp.float32),
     }
 
-    def loss(p):
+    def loss(p, uu):
         feats = jnp.stack(
-            [u.mean(axis=(-2, -1)) - 0.5, u.var(axis=(-2, -1))], axis=-1
+            [uu.mean(axis=(-2, -1)) - 0.5, uu.var(axis=(-2, -1))], axis=-1
         )
         h = jnp.tanh(feats @ p["w1"] + p["b1"])
         kap = 0.002 + 0.008 * jax.nn.sigmoid(h @ p["w2"] + p["b2"])[:, 0]
-        y1 = macro(u, kap)
+        y1 = macro(uu, kap)
         return jnp.sum((y1 - 0.5) ** 2)
 
     vg = jax.value_and_grad(loss)
 
+    # The 256 MB field must be an ARGUMENT: a closure would bake it into
+    # the program as a constant and blow the relay's compile-upload limit.
     @jax.jit
-    def step(p):
-        v, g = vg(p)
+    def step(p, uu):
+        v, g = vg(p, uu)
         return v + sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
 
-    out_v = step(params)
+    out_v = step(params, u)
     _ = float(out_v)
     t0 = time.perf_counter()
     runs = 5
     for _i in range(runs):
-        out_v = step(params)
+        out_v = step(params, u)
     _ = float(out_v)
     dt = time.perf_counter() - t0
     rate = B * n_sub * runs / dt

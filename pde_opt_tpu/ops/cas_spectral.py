@@ -581,15 +581,20 @@ def make_ch_cas_fused_macro(
 
         uu = _unpack_field(u, ph, pw, H, W)           # (bb, H, W) f32
         out_ref[:] = uu.astype(out_ref.dtype)
-        finu = (uu - uu == 0.0)
-        uzz = jnp.where(finu, uu, jnp.zeros_like(uu))
         if ds > 1:
             # Pool FIRST (matching the env's mean-pool-then-scale obs),
-            # emit f32; the caller scales/clips/casts the tiny pooled
-            # block outside.
-            t1 = pool_contract(uzz, ph_ref[:])        # (bb, W, Hd)
+            # reusing the already-masked centered field (`uz`) so no
+            # second mask pass / buffer is needed (the ds=4 PPO config
+            # overflowed the 16M scoped-VMEM limit with the extra
+            # buffers); the caller adds the center back, then
+            # scales/clips/casts the tiny pooled block outside.  NaN
+            # pixels of diverged envs read as the center level.
+            uzu = _unpack_field(uz, ph, pw, H, W)
+            t1 = pool_contract(uzu, ph_ref[:])        # (bb, W, Hd)
             obs_ref[:] = pool_contract(t1, pw_ref[:])  # (bb, Hd, Wd)
         else:
+            finu = (uu - uu == 0.0)
+            uzz = jnp.where(finu, uu, jnp.zeros_like(uu))
             ob = jnp.clip(uzz * obs_scale + obs_offset, 0.0, 255.0)
             obs_ref[:] = ob.astype(jnp.int32).astype(jnp.uint8)
 
@@ -678,8 +683,11 @@ def make_ch_cas_fused_macro(
                 else kap.reshape(B))
         u1, stats, obs = _core_ep(x, kapf)
         if ds > 1:
-            obs = jnp.clip(obs * obs_scale + obs_offset, 0.0, 255.0
-                           ).astype(jnp.uint8)
+            # Kernel emitted pool(u - center): add the center back before
+            # the affine scale (pooling is mean-weighted, so the center
+            # passes through additively).
+            obs = jnp.clip((obs + center) * obs_scale + obs_offset,
+                           0.0, 255.0).astype(jnp.uint8)
         return (u1.reshape(*batch, H, W),
                 stats.reshape(*batch, 3),
                 obs.reshape(*batch, Hd, Wd))

@@ -123,7 +123,13 @@ def test_env_step_parity(ds):
         se, oe, re, te, _, ie = env_e.step(se, a)
         s0, o0, r0, t0, _, i0 = env_0.step(s0, a)
         assert jnp.array_equal(se.y, s0.y)
-        assert jnp.array_equal(oe, o0)
+        if ds == 1:
+            assert jnp.array_equal(oe, o0)
+        else:
+            # pooled path: matmul pool of the centered field vs XLA
+            # reshape-mean — up to 1 uint8 LSB of rounding skew
+            d = jnp.abs(oe.astype(jnp.int32) - o0.astype(jnp.int32))
+            assert int(d.max()) <= 1
         assert jnp.array_equal(te, t0)
         assert jnp.array_equal(ie["diverged"], i0["diverged"])
         rel = jnp.max(jnp.abs(re - r0) / (jnp.abs(r0) + 1e-12))
