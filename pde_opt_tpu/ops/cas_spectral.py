@@ -88,13 +88,13 @@ def _cas_mat(N: int) -> np.ndarray:
 
 
 def _block_diag(m: np.ndarray, p: int) -> np.ndarray:
-    """p-fold block-diagonal tiling of a square matrix."""
+    """p-fold block-diagonal tiling of a (possibly rectangular) matrix."""
     if p == 1:
         return m
-    n = m.shape[0]
-    out = np.zeros((p * n, p * n), m.dtype)
+    n, c = m.shape
+    out = np.zeros((p * n, p * c), m.dtype)
     for i in range(p):
-        out[i * n:(i + 1) * n, i * n:(i + 1) * n] = m
+        out[i * n:(i + 1) * n, i * c:(i + 1) * c] = m
     return out
 
 
@@ -526,12 +526,18 @@ def make_ch_cas_fused_macro(
     Hd, Wd = H // ds, W // ds
 
     if ds > 1:
-        # Mean-pool as two tiny matmuls (MXU) on the unpacked field —
-        # in-kernel reshape-pooling is not Mosaic-lowerable.
-        PH_np = np.zeros((H, Hd), np.float32)
-        PH_np[np.arange(H), np.arange(H) // ds] = 1.0 / ds
-        PW_np = np.zeros((W, Wd), np.float32)
-        PW_np[np.arange(W), np.arange(W) // ds] = 1.0 / ds
+        # Mean-pool as two tiny matmuls (MXU) directly on the PACKED
+        # field — in-kernel reshape-pooling is not Mosaic-lowerable, and
+        # pooling the packed layout (block-diagonal pooling matrices)
+        # needs no extra full-size VMEM buffers (an unpacked-field pooling
+        # path overflowed the 16M scoped-VMEM limit at the ds=4 PPO
+        # config).  The tiny packed pooled block is unpacked in XLA.
+        P1 = np.zeros((H, Hd), np.float32)
+        P1[np.arange(H), np.arange(H) // ds] = 1.0 / ds
+        P2 = np.zeros((W, Wd), np.float32)
+        P2[np.arange(W), np.arange(W) // ds] = 1.0 / ds
+        PH_np = _block_diag(P1, ph)                   # (HP, ph*Hd)
+        PW_np = _block_diag(P2, pw)                   # (WP, pw*Wd)
 
     def pool_contract(x3, m2):
         # f32 pooling at HIGHEST precision: keeps the pooled obs within
@@ -583,15 +589,13 @@ def make_ch_cas_fused_macro(
         out_ref[:] = uu.astype(out_ref.dtype)
         if ds > 1:
             # Pool FIRST (matching the env's mean-pool-then-scale obs),
-            # reusing the already-masked centered field (`uz`) so no
-            # second mask pass / buffer is needed (the ds=4 PPO config
-            # overflowed the 16M scoped-VMEM limit with the extra
-            # buffers); the caller adds the center back, then
-            # scales/clips/casts the tiny pooled block outside.  NaN
-            # pixels of diverged envs read as the center level.
-            uzu = _unpack_field(uz, ph, pw, H, W)
-            t1 = pool_contract(uzu, ph_ref[:])        # (bb, W, Hd)
-            obs_ref[:] = pool_contract(t1, pw_ref[:])  # (bb, Hd, Wd)
+            # on the PACKED masked centered field with block-diagonal
+            # pooling matrices — zero extra full-size VMEM buffers.  The
+            # caller unpacks the tiny pooled block, adds the center back,
+            # then scales/clips/casts.  NaN pixels of diverged envs read
+            # as the center level.
+            t1 = pool_contract(uz, ph_ref[:])          # (bb4, WP, ph*Hd)
+            obs_ref[:] = pool_contract(t1, pw_ref[:])  # (bb4, ph*Hd, pw*Wd)
         else:
             finu = (uu - uu == 0.0)
             uzz = jnp.where(finu, uu, jnp.zeros_like(uu))
@@ -624,9 +628,11 @@ def make_ch_cas_fused_macro(
                                   lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
         if ds > 1:
-            obs_spec = pl.BlockSpec((bb, Hd, Wd), lambda i: (i, 0, 0),
+            obs_spec = pl.BlockSpec((bb // pack, ph * Hd, pw * Wd),
+                                    lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
-            obs_shape = jax.ShapeDtypeStruct((Bp, Hd, Wd), jnp.float32)
+            obs_shape = jax.ShapeDtypeStruct(
+                (Bp // pack, ph * Hd, pw * Wd), jnp.float32)
         else:
             obs_spec = pl.BlockSpec((bb, H, W), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
@@ -649,6 +655,9 @@ def make_ch_cas_fused_macro(
             interpret=interpret,
         )(x, kap, *consts)
         stats = _stats_to_envs(sb)
+        if ds > 1:
+            # (Bp//pack, ph*Hd, pw*Wd) packed pooled block -> (Bp, Hd, Wd)
+            obs = _unpack_field(obs, ph, pw, Hd, Wd)
         if Bp != B:
             out, stats, obs = out[:B], stats[:B], obs[:B]
         return out, stats, obs
