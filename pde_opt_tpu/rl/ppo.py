@@ -145,18 +145,21 @@ def make_ppo_train_step(env, config: PPOConfig, optimizer=None):
 
     def rollout(params, env_state, key):
         def body(carry, _):
-            st, k = carry
+            st, obs, k = carry
             k, ak = jax.random.split(k)
-            obs = env.state_to_observation_func(st.y)
             a, logp, v = policy_step(params, obs, ak)
-            st1, _, reward, terminated, _, _ = env._step_impl(st, a)
+            st1, obs1, reward, terminated, _, _ = env._step_impl(st, a)
             tr = Transition(obs, a, logp, v, reward, terminated)
-            return (st1, k), tr
+            return (st1, obs1, k), tr
 
-        (env_state, _), traj = jax.lax.scan(
-            body, (env_state, key), None, length=config.rollout_steps
+        # The obs a step returns IS the next state's observation (the
+        # make_rollout carry discipline): each state is observed exactly
+        # once — with the fused epilogue, by the Pallas macro itself,
+        # killing one full-field obs pass per rollout step.
+        obs0 = env.state_to_observation_func(env_state.y)
+        (env_state, last_obs, _), traj = jax.lax.scan(
+            body, (env_state, obs0, key), None, length=config.rollout_steps
         )
-        last_obs = env.state_to_observation_func(env_state.y)
         _, last_value = params(last_obs)
         return env_state, traj, last_value
 
