@@ -114,8 +114,8 @@ def main():
         return jnp.broadcast_to(psi, (B, G, G))
 
     psi0 = build_rot()
-    fetch_c = lambda o: float(  # noqa: E731
-        jax.jit(lambda z: jnp.sum(jnp.abs(z.reshape(-1)[:8])))(o))
+    _fetch_jit = jax.jit(lambda z: jnp.sum(jnp.abs(z.reshape(-1)[:8])))
+    fetch_c = lambda o: float(_fetch_jit(o))  # noqa: E731
     for name, poly in (("rot_full", True), ("rot_hw", False)):
         macro = make_rot_adi_macro(
             eq.A_terms, eq.B_terms, float(rdomain.dx[0]), G, G, 2e-4,
