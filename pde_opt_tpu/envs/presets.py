@@ -177,6 +177,7 @@ def make_allen_cahn_control_env(
     auto_reset: bool = True,
     vectorized_control: bool = True,
     spectral_solve: str = "fused",
+    fused_epilogue: bool | None = None,
 ) -> VectorPDEEnv:
     """Allen-Cahn control fleet: the agent drives κ (interface energy).
 
@@ -203,6 +204,23 @@ def make_allen_cahn_control_env(
         solver_parameters = {"A": 1.0}
     else:
         raise ValueError(f"unknown spectral_solve: {spectral_solve!r}")
+    # Fused env epilogue (same design as the CH flagship): obs is the
+    # affine (y+1)*127.5 uint8 map, reward is -var — both derived from
+    # the kernel's centered-moment stats (AC fields sit around 0).
+    if fused_epilogue is None:
+        fused_epilogue = spectral_solve == "fused" and vectorized_control
+    ep_cfg = None
+    if fused_epilogue:
+        ep_cfg = {
+            "obs_scale": 127.5,
+            "obs_offset": 127.5,
+            "obs_downsample": 1,
+            "stats_center": 0.0,
+            "reward_from_stats": lambda s1, s2, cnt, n: -(
+                s2 / n - (s1 / n) ** 2
+            ),
+            "obs_transform": lambda o: o[..., None, :, :],
+        }
     return VectorPDEEnv(
         equation_type=AllenCahn2DPeriodic,
         domain=domain,
@@ -234,6 +252,7 @@ def make_allen_cahn_control_env(
         num_envs=num_envs,
         auto_reset=auto_reset,
         vectorized_control=vectorized_control,
+        fused_epilogue=ep_cfg,
     )
 
 

@@ -187,6 +187,110 @@ def _quadrant_sums(z, ph: int, pw: int, H: int, W: int):
     return jnp.stack(parts, axis=1).reshape(bb4 * ph * pw)
 
 
+def _ep_parse(epilogue: dict, H: int, W: int, ph: int, pw: int):
+    """Parse an epilogue config dict into a namespace-like tuple.
+
+    Returns ``(obs_scale, obs_offset, center, ds, Hd, Wd, PH_np, PW_np)``
+    — ``PH_np/PW_np`` are the block-diagonal packed pooling matrices
+    (``None`` when ``ds == 1``).
+    """
+    obs_scale = float(epilogue.get("obs_scale", 255.0))
+    obs_offset = float(epilogue.get("obs_offset", 0.0))
+    center = float(epilogue.get("stats_center", 0.0))
+    ds = int(epilogue.get("obs_downsample", 1))
+    if H % ds or W % ds:
+        raise ValueError(f"obs_downsample={ds} must divide {(H, W)}")
+    Hd, Wd = H // ds, W // ds
+    PH_np = PW_np = None
+    if ds > 1:
+        P1 = np.zeros((H, Hd), np.float32)
+        P1[np.arange(H), np.arange(H) // ds] = 1.0 / ds
+        P2 = np.zeros((W, Wd), np.float32)
+        P2[np.arange(W), np.arange(W) // ds] = 1.0 / ds
+        PH_np = _block_diag(P1, ph)                   # (HP, ph*Hd)
+        PW_np = _block_diag(P2, pw)                   # (WP, pw*Wd)
+    return obs_scale, obs_offset, center, ds, Hd, Wd, PH_np, PW_np
+
+
+def _ep_pool_contract(x3, m2):
+    """f32 pooling matmul at HIGHEST precision: keeps the pooled obs
+    within 1 uint8 LSB of the XLA mean-pool the env otherwise computes."""
+    return jax.lax.dot_general(
+        x3, m2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _ep_qscal(z, ph, pw, H, W):
+    """Packed (bb4, HP, WP) -> per-env-quadrant sums (bb4, ph, pw)."""
+    rows = [jnp.sum(z[:, i * H:(i + 1) * H, :], axis=1, keepdims=True)
+            for i in range(ph)]
+    z2 = jnp.concatenate(rows, axis=1) if ph > 1 else rows[0]
+    cols = [jnp.sum(z2[:, :, j * W:(j + 1) * W], axis=2, keepdims=True)
+            for j in range(pw)]
+    return jnp.concatenate(cols, axis=2) if pw > 1 else cols[0]
+
+
+def _ep_emit(u, ph, pw, H, W, obs_scale, obs_offset, center, ds,
+             out_ref, stats_ref, obs_ref, pool_refs):
+    """Shared in-kernel epilogue tail on the VMEM-resident packed field.
+
+    Writes the unpacked advanced field, the (bb4, 3*ph, pw) centered-
+    moment stat block [sum(u-c), sum((u-c)^2), n_finite], and the obs
+    (full-res uint8, or the packed pooled f32 block when ds > 1).
+    Mosaic constraints (probed, scripts/probe_epilogue_ops.py):
+    f32->uint8 must cast via int32; reduction results cannot re-broadcast
+    across sublanes AND lanes (the NaN scrub stays outside the kernel);
+    pooled obs pools the PACKED field with block-diagonal matrices (an
+    unpacked-path pooling overflowed the 16M scoped-VMEM limit).
+    """
+    fin = (u - u == 0.0).astype(jnp.float32)          # 1.0 where finite
+    uz = jnp.where(fin > 0.5, u - center, jnp.zeros_like(u))
+    stats_ref[:] = jnp.concatenate(
+        [_ep_qscal(uz, ph, pw, H, W), _ep_qscal(uz * uz, ph, pw, H, W),
+         _ep_qscal(fin, ph, pw, H, W)], axis=1
+    )                                                 # (bb4, 3*ph, pw)
+
+    uu = _unpack_field(u, ph, pw, H, W)               # (bb, H, W) f32
+    out_ref[:] = uu.astype(out_ref.dtype)
+    if ds > 1:
+        ph_ref, pw_ref = pool_refs
+        t1 = _ep_pool_contract(uz, ph_ref[:])          # (bb4, WP, ph*Hd)
+        obs_ref[:] = _ep_pool_contract(t1, pw_ref[:])  # (bb4, ph*Hd, pw*Wd)
+    else:
+        finu = (uu - uu == 0.0)
+        uzz = jnp.where(finu, uu, jnp.zeros_like(uu))
+        ob = jnp.clip(uzz * obs_scale + obs_offset, 0.0, 255.0)
+        obs_ref[:] = ob.astype(jnp.int32).astype(jnp.uint8)
+
+
+def _ep_stats_to_envs(sb, ph, pw):
+    """(B4, 3*ph, pw) stat block -> (B, 3) rows [sum, sumsq, n_finite]
+    in :func:`_pack_field` env order (env = (b4*pw + j)*ph + i)."""
+    outs = []
+    for k in range(3):
+        parts = [sb[:, k * ph + i, j]
+                 for j in range(pw) for i in range(ph)]
+        col = (jnp.stack(parts, axis=1).reshape(-1)
+               if ph * pw > 1 else parts[0])
+        outs.append(col)
+    return jnp.stack(outs, axis=1)
+
+
+def _ep_fold_stats_cotangent(u1, gu, gstats, center):
+    """Fold the stats cotangent into the field cotangent at the final
+    field (s1 = sum(uz), s2 = sum(uz^2), uz = NaN-masked centered field;
+    the finite count has zero gradient a.e.)."""
+    fin = jnp.isfinite(u1)
+    uz = jnp.where(fin, u1 - center, jnp.zeros_like(u1))
+    return gu + jnp.where(
+        fin,
+        gstats[:, 0, None, None] + 2.0 * uz * gstats[:, 1, None, None],
+        jnp.zeros_like(u1),
+    ).astype(gu.dtype)
+
+
 def make_ch_cas_fused_macro(
     mu_fn: Callable,
     H: int,
@@ -512,57 +616,22 @@ def make_ch_cas_fused_macro(
     # stays OUTSIDE — the env's auto-reset replaces diverged fields
     # anyway); small (bb4, 3*ph, pw) stat output blocks are fine.
     # ------------------------------------------------------------------
-    obs_scale = float(epilogue.get("obs_scale", 255.0))
-    obs_offset = float(epilogue.get("obs_offset", 0.0))
     # Stats are CENTERED moments sum(u-c), sum((u-c)^2): with c at the
     # field's operating point (0.5 for the CH preset) the env's variance
     # reward -(s2/n - (s1/n)^2) is cancellation-free — the raw-moment form
     # loses ~7 significant digits right after reset (var ~1e-6 on fields
     # ~0.5, f32).  The mean, when needed, is s1/n + c.
-    center = float(epilogue.get("stats_center", 0.0))
-    ds = int(epilogue.get("obs_downsample", 1))
-    if H % ds or W % ds:
-        raise ValueError(f"obs_downsample={ds} must divide {(H, W)}")
-    Hd, Wd = H // ds, W // ds
-
-    if ds > 1:
-        # Mean-pool as two tiny matmuls (MXU) directly on the PACKED
-        # field — in-kernel reshape-pooling is not Mosaic-lowerable, and
-        # pooling the packed layout (block-diagonal pooling matrices)
-        # needs no extra full-size VMEM buffers (an unpacked-field pooling
-        # path overflowed the 16M scoped-VMEM limit at the ds=4 PPO
-        # config).  The tiny packed pooled block is unpacked in XLA.
-        P1 = np.zeros((H, Hd), np.float32)
-        P1[np.arange(H), np.arange(H) // ds] = 1.0 / ds
-        P2 = np.zeros((W, Wd), np.float32)
-        P2[np.arange(W), np.arange(W) // ds] = 1.0 / ds
-        PH_np = _block_diag(P1, ph)                   # (HP, ph*Hd)
-        PW_np = _block_diag(P2, pw)                   # (WP, pw*Wd)
-
-    def pool_contract(x3, m2):
-        # f32 pooling at HIGHEST precision: keeps the pooled obs within
-        # 1 uint8 LSB of the XLA mean-pool the env otherwise computes.
-        return jax.lax.dot_general(
-            x3, m2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-    def _qscal(z):
-        """Packed (bb4, HP, WP) -> per-env-quadrant sums (bb4, ph, pw)."""
-        rows = [jnp.sum(z[:, i * H:(i + 1) * H, :], axis=1, keepdims=True)
-                for i in range(ph)]
-        z2 = jnp.concatenate(rows, axis=1) if ph > 1 else rows[0]
-        cols = [jnp.sum(z2[:, :, j * W:(j + 1) * W], axis=2, keepdims=True)
-                for j in range(pw)]
-        return jnp.concatenate(cols, axis=2) if pw > 1 else cols[0]
+    (obs_scale, obs_offset, center, ds, Hd, Wd,
+     PH_np, PW_np) = _ep_parse(epilogue, H, W, ph, pw)
 
     def kernel_ep(u_ref, kap_ref, ch_ref, cw_ref, ich_ref, icw_ref,
                   lamQ_ref, lam2Q_ref, *rest):
         if ds > 1:
             ph_ref, pw_ref, out_ref, stats_ref, obs_ref = rest
+            pool_refs = (ph_ref, pw_ref)
         else:
             out_ref, stats_ref, obs_ref = rest
+            pool_refs = None
         lamQ = lamQ_ref[:]
         lam2Q = lam2Q_ref[:]
         u = _pack_field(u_ref[:].astype(jnp.float32), ph, pw)
@@ -577,42 +646,8 @@ def make_ch_cas_fused_macro(
             u_t = u_t + incr
             u = u + inv(incr)
 
-        # --- epilogue on the VMEM-resident final field ---
-        fin = (u - u == 0.0).astype(jnp.float32)      # 1.0 where finite
-        um = u - center
-        uz = jnp.where(fin > 0.5, um, jnp.zeros_like(u))
-        stats_ref[:] = jnp.concatenate(
-            [_qscal(uz), _qscal(uz * uz), _qscal(fin)], axis=1
-        )                                             # (bb4, 3*ph, pw)
-
-        uu = _unpack_field(u, ph, pw, H, W)           # (bb, H, W) f32
-        out_ref[:] = uu.astype(out_ref.dtype)
-        if ds > 1:
-            # Pool FIRST (matching the env's mean-pool-then-scale obs),
-            # on the PACKED masked centered field with block-diagonal
-            # pooling matrices — zero extra full-size VMEM buffers.  The
-            # caller unpacks the tiny pooled block, adds the center back,
-            # then scales/clips/casts.  NaN pixels of diverged envs read
-            # as the center level.
-            t1 = pool_contract(uz, ph_ref[:])          # (bb4, WP, ph*Hd)
-            obs_ref[:] = pool_contract(t1, pw_ref[:])  # (bb4, ph*Hd, pw*Wd)
-        else:
-            finu = (uu - uu == 0.0)
-            uzz = jnp.where(finu, uu, jnp.zeros_like(uu))
-            ob = jnp.clip(uzz * obs_scale + obs_offset, 0.0, 255.0)
-            obs_ref[:] = ob.astype(jnp.int32).astype(jnp.uint8)
-
-    def _stats_to_envs(sb):
-        """(B4, 3*ph, pw) stat block -> (B, 3) rows [sum, sumsq, n_finite]
-        in :func:`_pack_field` env order (env = (b4*pw + j)*ph + i)."""
-        outs = []
-        for k in range(3):
-            parts = [sb[:, k * ph + i, j]
-                     for j in range(pw) for i in range(ph)]
-            col = (jnp.stack(parts, axis=1).reshape(-1)
-                   if pack > 1 else parts[0])
-            outs.append(col)
-        return jnp.stack(outs, axis=1)
+        _ep_emit(u, ph, pw, H, W, obs_scale, obs_offset, center, ds,
+                 out_ref, stats_ref, obs_ref, pool_refs)
 
     @jax.custom_vjp
     def _core_ep(x, kapf):
@@ -654,7 +689,7 @@ def make_ch_cas_fused_macro(
             ),
             interpret=interpret,
         )(x, kap, *consts)
-        stats = _stats_to_envs(sb)
+        stats = _ep_stats_to_envs(sb, ph, pw)
         if ds > 1:
             # (Bp//pack, ph*Hd, pw*Wd) packed pooled block -> (Bp, Hd, Wd)
             obs = _unpack_field(obs, ph, pw, Hd, Wd)
@@ -667,19 +702,11 @@ def make_ch_cas_fused_macro(
         return out, (x, kapf, out[0])
 
     def _core_ep_bwd(res, cots):
-        # stats cotangents fold into the field cotangent at u1
-        # (s1 = sum(uz), s2 = sum(uz^2) with uz the NaN-masked field; the
-        # finite-count has zero gradient a.e.); the obs output is
-        # stop-gradient by design (it ends in uint8 either way).
+        # stats cotangents fold into the field cotangent at u1; the obs
+        # output is stop-gradient by design (it ends in uint8 either way).
         x, kapf, u1 = res
         gu, gstats, _gobs = cots
-        fin = jnp.isfinite(u1)
-        uz = jnp.where(fin, u1 - center, jnp.zeros_like(u1))
-        g = gu + jnp.where(
-            fin,
-            gstats[:, 0, None, None] + 2.0 * uz * gstats[:, 1, None, None],
-            jnp.zeros_like(u1),
-        ).astype(gu.dtype)
+        g = _ep_fold_stats_cotangent(u1, gu, gstats, center)
         return _run_bwd(x, kapf, g)
 
     _core_ep.defvjp(_core_ep_fwd, _core_ep_bwd)
@@ -766,6 +793,7 @@ def make_ac_cas_fused_macro(
     block_envs: Optional[int] = None,
     interpret: Optional[bool] = None,
     mats_dtype=jnp.bfloat16,
+    epilogue: Optional[dict] = None,
 ):
     """Fused Allen-Cahn semi-implicit macro on the cas/env-packed layout.
 
@@ -855,8 +883,18 @@ def make_ac_cas_fused_macro(
         except Exception:
             r_identity = False
 
+    ep = None if epilogue is None else _ep_parse(epilogue, H, W, ph, pw)
+
     def kernel(u_ref, kap_ref, ch_ref, cw_ref, ich_ref, icw_ref, lamQ_ref,
-               out_ref):
+               *rest):
+        pool_refs = None
+        if ep is None:
+            out_ref, = rest
+        elif ep[3] > 1:                               # ds > 1
+            ph_ref, pw_ref, out_ref, stats_ref, obs_ref = rest
+            pool_refs = (ph_ref, pw_ref)
+        else:
+            out_ref, stats_ref, obs_ref = rest
         lamQ = lamQ_ref[:]
         u = _pack_field(u_ref[:].astype(jnp.float32), ph, pw)
         kQ = _pack_kappa(kap_ref[:].astype(jnp.float32), ph, pw, H, W)
@@ -881,7 +919,12 @@ def make_ac_cas_fused_macro(
                 lap = inv(lamQ[None] * fwd(u))
                 g = -R_fn(u) * (mu_fn(u) - kQ * lap)
                 u = u + inv(denom_dt * fwd(g))
-        out_ref[:] = _unpack_field(u, ph, pw, H, W).astype(out_ref.dtype)
+        if ep is None:
+            out_ref[:] = _unpack_field(u, ph, pw, H, W).astype(out_ref.dtype)
+        else:
+            obs_scale, obs_offset, center, ds = ep[:4]
+            _ep_emit(u, ph, pw, H, W, obs_scale, obs_offset, center, ds,
+                     out_ref, stats_ref, obs_ref, pool_refs)
 
     def macro_raw(state, kappa):
         *batch, h, w = state.shape
@@ -925,27 +968,96 @@ def make_ac_cas_fused_macro(
                                   memory_space=pltpu.VMEM)
         kap_spec = pl.BlockSpec((bb, 1, 1), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
+        cost = pl.CostEstimate(
+            flops=((3 if r_identity else 4)
+                   * n_steps * Bp * H * W * (2 * HP + 2 * WP)),
+            bytes_accessed=2 * Bp * H * W * 4,
+            transcendentals=0,
+        )
+        if ep is None:
+            out = pl.pallas_call(
+                kernel,
+                grid=(Bp // bb,),
+                in_specs=[field_spec, kap_spec, *const_specs],
+                out_specs=field_spec,
+                out_shape=jax.ShapeDtypeStruct((Bp, H, W), state.dtype),
+                cost_estimate=cost,
+                interpret=interpret,
+            )(x, kap, *consts)
+            if Bp != B:
+                out = out[:B]
+            return out.reshape(*batch, H, W)
+
+        # epilogue variant: same kernel also emits (stats, obs)
+        _osc, _oof, _ctr, ds, Hd, Wd, PH_np, PW_np = ep
+        if ds > 1:
+            consts = consts + [jnp.asarray(PH_np), jnp.asarray(PW_np)]
+            const_specs = const_specs + [
+                pl.BlockSpec(c.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+                for c in (PH_np, PW_np)
+            ]
+            obs_spec = pl.BlockSpec((bb // pack, ph * Hd, pw * Wd),
+                                    lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            obs_shape = jax.ShapeDtypeStruct(
+                (Bp // pack, ph * Hd, pw * Wd), jnp.float32)
+        else:
+            obs_spec = field_spec
+            obs_shape = jax.ShapeDtypeStruct((Bp, H, W), jnp.uint8)
+        stats_spec = pl.BlockSpec((bb // pack, 3 * ph, pw),
+                                  lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        out, sb, obs = pl.pallas_call(
             kernel,
             grid=(Bp // bb,),
             in_specs=[field_spec, kap_spec, *const_specs],
-            out_specs=field_spec,
-            out_shape=jax.ShapeDtypeStruct((Bp, H, W), state.dtype),
-            cost_estimate=pl.CostEstimate(
-                flops=((3 if r_identity else 4)
-                       * n_steps * Bp * H * W * (2 * HP + 2 * WP)),
-                bytes_accessed=2 * Bp * H * W * 4,
-                transcendentals=0,
+            out_specs=(field_spec, stats_spec, obs_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((Bp, H, W), state.dtype),
+                jax.ShapeDtypeStruct((Bp // pack, 3 * ph, pw), jnp.float32),
+                obs_shape,
             ),
+            cost_estimate=cost,
             interpret=interpret,
         )(x, kap, *consts)
+        stats = _ep_stats_to_envs(sb, ph, pw)
+        if ds > 1:
+            obs = _unpack_field(obs, ph, pw, Hd, Wd)
         if Bp != B:
-            out = out[:B]
-        return out.reshape(*batch, H, W)
+            out, stats, obs = out[:B], stats[:B], obs[:B]
+        return (out.reshape(*batch, H, W), stats.reshape(*batch, 3),
+                obs.reshape(*batch, Hd, Wd))
 
     R_oracle = (lambda u: jnp.ones_like(u)) if R_fn is None else R_fn
-    return _attach_oracle_vjp(
-        macro_raw,
-        ac_sif_macro_reference(mu_fn, R_oracle, hx, hy, A, dt, n_steps,
-                               remat=True),
-    )
+    oracle = ac_sif_macro_reference(mu_fn, R_oracle, hx, hy, A, dt, n_steps,
+                                    remat=True)
+    if epilogue is None:
+        return _attach_oracle_vjp(macro_raw, oracle)
+
+    _osc, _oof, ep_center, ep_ds = ep[:4]
+    ep_Hd, ep_Wd = ep[4], ep[5]
+
+    @jax.custom_vjp
+    def dmacro(state, kappa):
+        out = macro_raw(state, kappa)
+        if ep_ds > 1:
+            u1, stats, pooled = out
+            obs = jnp.clip((pooled + ep_center) * _osc + _oof,
+                           0.0, 255.0).astype(jnp.uint8)
+            return u1, stats, obs
+        return out
+
+    def dmacro_fwd(state, kappa):
+        out = dmacro(state, kappa)
+        return out, (state, kappa, out[0])
+
+    def dmacro_bwd(res, cots):
+        state, kappa, u1 = res
+        gu, gstats, _gobs = cots
+        g = _ep_fold_stats_cotangent(u1, gu, gstats, ep_center)
+        _, vjp = jax.vjp(oracle, state, kappa)
+        return vjp(g)
+
+    dmacro.defvjp(dmacro_fwd, dmacro_bwd)
+    return dmacro

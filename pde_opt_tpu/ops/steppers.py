@@ -488,6 +488,40 @@ class FusedAllenCahnSpectral(AbstractStepper):
         kappa = _normalize_per_env_control(self.kappa, y0.shape[:-2], "kappa")
         return macro(y0, kappa)
 
+    def evolve_with_epilogue(self, rhs, y0, t0, dt, n_steps, ep_cfg):
+        """Advance AND emit ``(y1, stats, obs)`` from the same cas kernel
+        (same contract as :meth:`FusedSemiImplicitSpectral.evolve_with_epilogue`)."""
+        del rhs, t0
+        if self.algo != "cas":
+            raise NotImplementedError(
+                "fused env epilogue requires algo='cas'"
+            )
+        if isinstance(dt, jax.core.Tracer):
+            raise TypeError(
+                "FusedAllenCahnSpectral requires trace-time concrete dt"
+            )
+        from .cas_spectral import make_ac_cas_fused_macro
+
+        H, W = self.domain.points
+        hx, hy = self.domain.dx
+        kwargs = {}
+        if self.mats_dtype is not None:
+            kwargs["mats_dtype"] = self.mats_dtype
+        macro = make_ac_cas_fused_macro(
+            self.mu, self.R, H, W, float(hx), float(hy), self.A,
+            float(dt), int(n_steps), block_envs=self.block_envs,
+            interpret=self.interpret,
+            epilogue={
+                "obs_scale": float(ep_cfg.get("obs_scale", 255.0)),
+                "obs_offset": float(ep_cfg.get("obs_offset", 0.0)),
+                "obs_downsample": int(ep_cfg.get("obs_downsample", 1)),
+                "stats_center": float(ep_cfg.get("stats_center", 0.0)),
+            },
+            **kwargs,
+        )
+        kappa = _normalize_per_env_control(self.kappa, y0.shape[:-2], "kappa")
+        return macro(y0, kappa)
+
     def step(self, rhs, y, t, dt):
         y1 = self.evolve(rhs, y, t, dt, 1)
         return y1, None

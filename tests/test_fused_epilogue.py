@@ -188,6 +188,62 @@ def test_env_divergence_no_autoreset_scrubs():
     assert bool(jnp.isfinite(state.y).all())
 
 
+def test_ac_env_step_parity():
+    from pde_opt_tpu.envs.presets import make_allen_cahn_control_env
+
+    kw = dict(num_envs=16, grid_size=16, substeps=5,
+              vectorized_control=True, spectral_solve="fused")
+    env_e = make_allen_cahn_control_env(**kw, fused_epilogue=True)
+    env_0 = make_allen_cahn_control_env(**kw, fused_epilogue=False)
+    key = jax.random.PRNGKey(11)
+    se, oe = env_e.reset(key)
+    s0, o0 = env_0.reset(key)
+    assert jnp.array_equal(oe, o0)
+    for i in range(4):
+        a = env_e.sample_actions(jax.random.PRNGKey(300 + i))
+        se, oe, re, te, _, ie = env_e.step(se, a)
+        s0, o0, r0, t0, _, i0 = env_0.step(s0, a)
+        assert jnp.array_equal(se.y, s0.y)
+        assert jnp.array_equal(oe, o0)
+        assert jnp.array_equal(te, t0)
+        rel = jnp.max(jnp.abs(re - r0) / (jnp.abs(r0) + 1e-12))
+        assert float(rel) < 1e-5
+
+
+def test_ac_epilogue_gradients_match_plain():
+    from pde_opt_tpu.ops.cas_spectral import make_ac_cas_fused_macro
+
+    B, H = 8, 16
+    u = 0.1 * jax.random.normal(jax.random.PRNGKey(12), (B, H, H),
+                                jnp.float32)
+    kap = jnp.linspace(1e-4, 1e-3, B).astype(jnp.float32)
+    kw = dict(mats_dtype=jnp.float32)
+    m0 = make_ac_cas_fused_macro(MU, None, H, H, 0.01, 0.01, 1.0, 1e-4, 4,
+                                 **kw)
+    mep = make_ac_cas_fused_macro(
+        MU, None, H, H, 0.01, 0.01, 1.0, 1e-4, 4,
+        epilogue={"obs_scale": 127.5, "obs_offset": 127.5}, **kw,
+    )
+    u1 = m0(u, kap)
+    u1e, stats, obs = mep(u, kap)
+    assert jnp.array_equal(u1, u1e)
+    obs_ref = jnp.clip((u1 + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+    assert jnp.array_equal(obs, obs_ref)
+
+    def loss_ep(kk):
+        y, s, _ = mep(u, kk)
+        return jnp.sum(y**2) + 1.5 * jnp.sum(s[:, 0]) + 0.5 * jnp.sum(s[:, 1])
+
+    def loss_pl(kk):
+        y = m0(u, kk)
+        return jnp.sum(y**2) + 1.5 * jnp.sum(y) + 0.5 * jnp.sum(y**2)
+
+    g1 = jax.grad(loss_ep)(kap)
+    g2 = jax.grad(loss_pl)(kap)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-12)
+
+
 def test_fused_epilogue_requires_vectorized_control():
     with pytest.raises(ValueError, match="vectorized_control"):
         make_cahn_hilliard_control_env(
