@@ -268,6 +268,7 @@ def make_gpe_control_env(
     spot_width: float = 1.0,
     box_size: float = 16.0,
     spectral_solve: str = "fused",
+    fused_epilogue: bool | None = None,
 ) -> VectorPDEEnv:
     """Gross-Pitaevskii control fleet: the agent drives an optical spot.
 
@@ -318,12 +319,29 @@ def make_gpe_control_env(
         solver_type = FusedStrangControl
         solver_parameters = {}
     elif spectral_solve == "fft":
+        fused_epilogue = False
         # fast_evolve merges consecutive A half-steps (midpoint Strang):
         # 2 FFT pairs per substep instead of 4.
         solver_type = StrangSplitting
         solver_parameters = {"time_scale": 1.0, "fast_evolve": True}
     else:
         raise ValueError(f"unknown spectral_solve: {spectral_solve!r}")
+    # Fused env epilogue: density obs + spot-weighted reward emitted by
+    # the Strang kernel itself (the GPE env's XLA epilogue costs ~2x the
+    # kernel at 1024x64^2 — see docs/performance.md round-5 anchors).
+    if fused_epilogue is None:
+        fused_epilogue = spectral_solve == "fused"
+    ep_cfg = None
+    if fused_epilogue:
+        cell = dx * dx
+        ep_cfg = {
+            "obs_scale": 2550.0,
+            "weight": spot,
+            "n_px": grid_size * grid_size,
+            # s1 = sum(spot * rho): reward = -density_in_spot
+            "reward_from_stats": lambda s1, s2, cnt, n: -(s1 * cell),
+            "obs_transform": lambda o: o[..., None, :, :],
+        }
     return VectorPDEEnv(
         equation_type=GPE2DTSControl,
         domain=domain,
@@ -353,6 +371,7 @@ def make_gpe_control_env(
         num_envs=num_envs,
         auto_reset=auto_reset,
         vectorized_control=True,
+        fused_epilogue=ep_cfg,
     )
 
 

@@ -305,7 +305,10 @@ class VectorPDEEnv:
             y1, cv1, stats, obs_k = self._advance_batched(
                 state.y, state.control_value, actions, ep_cfg=ep
             )
-            n_px = y1.shape[-2] * y1.shape[-1]
+            # n_px: what the kernel's finite-count counts — H*W grid
+            # pixels by default; states with extra trailing axes (e.g. the
+            # GPE real-stacked (H, W, 2)) override it in the config.
+            n_px = ep.get("n_px") or (y1.shape[-2] * y1.shape[-1])
             s1, s2, cnt = stats[..., 0], stats[..., 1], stats[..., 2]
             diverged = cnt < (n_px - 0.5)
             reward = ep["reward_from_stats"](s1, s2, cnt, n_px)

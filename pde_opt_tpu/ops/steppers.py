@@ -840,6 +840,39 @@ class FusedStrangControl(AbstractStepper):
         ctrl = jnp.broadcast_to(ctrl, y0.shape[:-1])
         return macro(y0, ctrl)
 
+    def evolve_with_epilogue(self, rhs, y0, t0, dt, n_steps, ep_cfg):
+        """Advance AND emit ``(y1, stats, obs)`` from the same kernel.
+
+        stats rows: ``[sum(w*rho), sum(rho), n_finite]`` with rho the
+        NaN-masked final density and ``w = ep_cfg['weight']`` (the
+        reward's spot field); obs = ``clip(rho*obs_scale, 0, 255)`` uint8.
+        """
+        del rhs
+        if isinstance(dt, jax.core.Tracer):
+            raise TypeError(
+                "FusedStrangControl requires trace-time concrete dt"
+            )
+        from .gpe_cas import make_gpe_strang_cas_macro
+
+        H, W = self.domain.points
+        kwargs = {}
+        if self.mats_dtype is not None:
+            kwargs["mats_dtype"] = self.mats_dtype
+        macro = make_gpe_strang_cas_macro(
+            self._V_trap, self.g, H, W, float(self.domain.dx[0]),
+            float(dt), int(n_steps), block_envs=self.block_envs,
+            interpret=self.interpret,
+            epilogue={
+                "obs_scale": float(ep_cfg.get("obs_scale", 2550.0)),
+                "weight": ep_cfg.get("weight"),
+            },
+            **kwargs,
+        )
+        X, Y = self._mesh
+        ctrl = self.lights(t0, X, Y)
+        ctrl = jnp.broadcast_to(ctrl, y0.shape[:-1])
+        return macro(y0, ctrl)
+
     def step(self, rhs, y, t, dt):
         return self.evolve(rhs, y, t, dt, 1), None
 
