@@ -502,6 +502,7 @@ def make_butler_volmer_control_env(
     auto_reset: bool = True,
     kappa: float = 5e-4,
     method: str = "fused",
+    fused_epilogue: bool | None = None,
 ) -> VectorPDEEnv:
     """Galvanostatic Butler-Volmer charging fleet: the agent drives the C-rate.
 
@@ -534,6 +535,22 @@ def make_butler_volmer_control_env(
         "dimensionless", dtype=dtype,
     )
     clip = lambda c: jnp.clip(c, 1e-4, 1 - 1e-4)
+
+    # Fused env epilogue: obs clip(y*255) and the charging reward
+    # mean - 10*var, both from the kernel's centered-moment stats.
+    if fused_epilogue is None:
+        fused_epilogue = method == "fused"
+    ep_cfg = None
+    if fused_epilogue:
+        ep_cfg = {
+            "obs_scale": 255.0,
+            "obs_offset": 0.0,
+            "stats_center": 0.5,
+            "reward_from_stats": lambda s1, s2, cnt, n: (
+                (s1 / n + 0.5) - 10.0 * (s2 / n - (s1 / n) ** 2)
+            ),
+            "obs_transform": lambda o: o[..., None, :, :],
+        }
 
     return VectorPDEEnv(
         equation_type=AllenCahn2DPeriodicButlerVolmerConstantCurrent,
@@ -570,6 +587,7 @@ def make_butler_volmer_control_env(
         num_envs=num_envs,
         auto_reset=auto_reset,
         vectorized_control=True,
+        fused_epilogue=ep_cfg,
     )
 
 

@@ -48,6 +48,10 @@ from .cas_spectral import (
     _pack_kappa,
     _pick_block,
     _unpack_field,
+    _ep_fold_stats_cotangent,
+    _ep_parse,
+    _ep_qscal,
+    _ep_stats_to_envs,
 )
 
 __all__ = ["make_bv_cc_fused_macro", "bv_cc_reference"]
@@ -103,6 +107,7 @@ def make_bv_cc_fused_macro(
     block_envs: Optional[int] = None,
     interpret: Optional[bool] = None,
     mats_dtype=jnp.bfloat16,
+    epilogue: Optional[dict] = None,
 ):
     """Build ``macro(u, crate) -> u1``: the fused BV charging macro-step.
 
@@ -183,6 +188,32 @@ def make_bv_cc_fused_macro(
 
         out_ref[:] = _unpack_field(u, ph, pw, H, W).astype(out_ref.dtype)
 
+    # Env-epilogue variant: the same kernel also emits the per-env
+    # centered-moment stats and the uint8 obs (same contract as the CH
+    # kernel's epilogue — see ops/cas_spectral._ep_emit).
+    if epilogue is not None:
+        ep = _ep_parse(epilogue, H, W, ph, pw)
+        if ep[3] != 1:
+            raise NotImplementedError("BV epilogue supports ds=1 only")
+        ep_scale, ep_offset, ep_center = ep[0], ep[1], ep[2]
+
+    def kernel_ep(u_ref, crate_ref, ch_ref, cw_ref, ich_ref, icw_ref,
+                  lamQ_ref, out_ref, stats_ref, obs_ref):
+        kernel(u_ref, crate_ref, ch_ref, cw_ref, ich_ref, icw_ref,
+               lamQ_ref, out_ref)
+        uu = out_ref[:].astype(jnp.float32)           # (bb, H, W)
+        u = _pack_field(uu, ph, pw)
+        fin = (u - u == 0.0).astype(jnp.float32)
+        uz = jnp.where(fin > 0.5, u - ep_center, jnp.zeros_like(u))
+        stats_ref[:] = jnp.concatenate(
+            [_ep_qscal(uz, ph, pw, H, W),
+             _ep_qscal(uz * uz, ph, pw, H, W),
+             _ep_qscal(fin, ph, pw, H, W)], axis=1)
+        finu = (uu - uu == 0.0)
+        uzz = jnp.where(finu, uu, jnp.zeros_like(uu))
+        ob = jnp.clip(uzz * ep_scale + ep_offset, 0.0, 255.0)
+        obs_ref[:] = ob.astype(jnp.int32).astype(jnp.uint8)
+
     def _run(x, crate_b):
         B = x.shape[0]
         if block_envs is not None:
@@ -217,27 +248,48 @@ def make_bv_cc_fused_macro(
                                   memory_space=pltpu.VMEM)
         crate_spec = pl.BlockSpec((bb, 1, 1), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            kernel,
+        cost = pl.CostEstimate(
+            flops=4 * 4 * n_steps * Bp * H * W * (2 * HP + 2 * WP),
+            bytes_accessed=2 * Bp * H * W * 4,
+            transcendentals=4 * 3 * n_steps * Bp * H * W,
+        )
+        if epilogue is None:
+            out = pl.pallas_call(
+                kernel,
+                grid=(Bp // bb,),
+                in_specs=[field_spec, crate_spec, *const_specs],
+                out_specs=field_spec,
+                out_shape=jax.ShapeDtypeStruct((Bp, H, W), x.dtype),
+                cost_estimate=cost,
+                interpret=interpret,
+            )(x, crate_b, *consts)
+            if Bp != B:
+                out = out[:B]
+            return out
+        stats_spec = pl.BlockSpec((bb // pack, 3 * ph, pw),
+                                  lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        out, sb, obs = pl.pallas_call(
+            kernel_ep,
             grid=(Bp // bb,),
             in_specs=[field_spec, crate_spec, *const_specs],
-            out_specs=field_spec,
-            out_shape=jax.ShapeDtypeStruct((Bp, H, W), x.dtype),
-            cost_estimate=pl.CostEstimate(
-                flops=4 * 4 * n_steps * Bp * H * W * (2 * HP + 2 * WP),
-                bytes_accessed=2 * Bp * H * W * 4,
-                transcendentals=4 * 3 * n_steps * Bp * H * W,
+            out_specs=(field_spec, stats_spec, field_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((Bp, H, W), x.dtype),
+                jax.ShapeDtypeStruct((Bp // pack, 3 * ph, pw), jnp.float32),
+                jax.ShapeDtypeStruct((Bp, H, W), jnp.uint8),
             ),
+            cost_estimate=cost,
             interpret=interpret,
         )(x, crate_b, *consts)
+        stats = _ep_stats_to_envs(sb, ph, pw)
         if Bp != B:
-            out = out[:B]
-        return out
+            out, stats, obs = out[:B], stats[:B], obs[:B]
+        return out, stats, obs
 
     oracle = bv_cc_reference(mu_fn, j0_fn, kap_f, hx, hy, dt, n_steps)
 
-    @jax.custom_vjp
-    def _core(u, crate):
+    def _split(u, crate):
         *batch, h, w = u.shape
         if (h, w) != (H, W):
             raise ValueError(f"state trailing shape {(h, w)} != {(H, W)}")
@@ -248,16 +300,44 @@ def make_bv_cc_fused_macro(
                                    if crate_arr.ndim <= 1
                                    else crate_arr.reshape(B, 1, 1),
                                    (B, 1, 1))
-        out = _run(x, crate_b)
-        return out.reshape(*batch, H, W)
+        return batch, x, crate_b
 
-    def _core_fwd(u, crate):
-        return _core(u, crate), (u, crate)
+    if epilogue is None:
 
-    def _core_bwd(res, gbar):
-        u, crate = res
+        @jax.custom_vjp
+        def _core(u, crate):
+            batch, x, crate_b = _split(u, crate)
+            out = _run(x, crate_b)
+            return out.reshape(*batch, H, W)
+
+        def _core_fwd(u, crate):
+            return _core(u, crate), (u, crate)
+
+        def _core_bwd(res, gbar):
+            u, crate = res
+            _, vjp = jax.vjp(oracle, u, crate)
+            return vjp(gbar)
+
+        _core.defvjp(_core_fwd, _core_bwd)
+        return _core
+
+    @jax.custom_vjp
+    def _core_ep(u, crate):
+        batch, x, crate_b = _split(u, crate)
+        out, stats, obs = _run(x, crate_b)
+        return (out.reshape(*batch, H, W), stats.reshape(*batch, 3),
+                obs.reshape(*batch, H, W))
+
+    def _core_ep_fwd(u, crate):
+        out = _core_ep(u, crate)
+        return out, (u, crate, out[0])
+
+    def _core_ep_bwd(res, cots):
+        u, crate, u1 = res
+        gu, gstats, _gobs = cots
+        g = _ep_fold_stats_cotangent(u1, gu, gstats, ep_center)
         _, vjp = jax.vjp(oracle, u, crate)
-        return vjp(gbar)
+        return vjp(g)
 
-    _core.defvjp(_core_fwd, _core_bwd)
-    return _core
+    _core_ep.defvjp(_core_ep_fwd, _core_ep_bwd)
+    return _core_ep

@@ -1162,6 +1162,33 @@ class FusedButlerVolmer(AbstractStepper):
         crate = _normalize_per_env_control(self.Crate, y0.shape[:-2], "Crate")
         return macro(y0, crate)
 
+    def evolve_with_epilogue(self, rhs, y0, t0, dt, n_steps, ep_cfg):
+        """Advance AND emit ``(y1, stats, obs)`` from the same kernel
+        (same contract as :meth:`FusedSemiImplicitSpectral.evolve_with_epilogue`)."""
+        del rhs, t0
+        if isinstance(dt, jax.core.Tracer):
+            raise TypeError("FusedButlerVolmer requires trace-time concrete dt")
+        from .bv_cas import make_bv_cc_fused_macro
+
+        H, W = self.domain.points
+        hx, hy = self.domain.dx
+        kwargs = {}
+        if self.mats_dtype is not None:
+            kwargs["mats_dtype"] = self.mats_dtype
+        macro = make_bv_cc_fused_macro(
+            self.mu, self.j0, float(self.kappa), H, W, float(hx), float(hy),
+            float(dt), int(n_steps), block_envs=self.block_envs,
+            interpret=self.interpret,
+            epilogue={
+                "obs_scale": float(ep_cfg.get("obs_scale", 255.0)),
+                "obs_offset": float(ep_cfg.get("obs_offset", 0.0)),
+                "stats_center": float(ep_cfg.get("stats_center", 0.0)),
+            },
+            **kwargs,
+        )
+        crate = _normalize_per_env_control(self.Crate, y0.shape[:-2], "Crate")
+        return macro(y0, crate)
+
     def step(self, rhs, y, t, dt):
         return self.evolve(rhs, y, t, dt, 1), None
 
