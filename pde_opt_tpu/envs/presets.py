@@ -604,6 +604,7 @@ def make_sbm_butler_volmer_control_env(
     interface_width: float = 0.04,
     smooth_geometry: bool = False,
     method: str = "fused",
+    fused_epilogue: bool | None = None,
 ) -> VectorPDEEnv:
     """Smoothed-boundary galvanostatic charging fleet (irregular particle).
 
@@ -666,6 +667,28 @@ def make_sbm_butler_volmer_control_env(
         m = psi_mean(y)[..., None, None]
         return jnp.sum(psi * (y - m) ** 2, axis=(-2, -1)) / psi_sum
 
+    # Fused env epilogue: the kernel's stats are psi*cell-weighted
+    # centered moments — divide by sum(psi*cell) for the psi-mean/var
+    # charging reward; obs is the psi-masked uint8 concentration.
+    if fused_epilogue is None:
+        fused_epilogue = method == "fused"
+    ep_cfg = None
+    if fused_epilogue:
+        cell = float(domain.dx[0]) * float(domain.dx[1])
+        wsum = float(psi_sum) * cell
+
+        def _sbm_reward(s1, s2, cnt, n, _w=wsum):
+            m = s1 / _w + 0.5
+            var = s2 / _w - (s1 / _w) ** 2
+            return m - 10.0 * var
+
+        ep_cfg = {
+            "obs_scale": 255.0,
+            "stats_center": 0.5,
+            "reward_from_stats": _sbm_reward,
+            "obs_transform": lambda o: o[..., None, :, :],
+        }
+
     return VectorPDEEnv(
         equation_type=AllenCahn2DSmoothedBoundaryButlerVolmerConstantCurrent,
         domain=domain,
@@ -703,4 +726,5 @@ def make_sbm_butler_volmer_control_env(
         num_envs=num_envs,
         auto_reset=auto_reset,
         vectorized_control=True,
+        fused_epilogue=ep_cfg,
     )

@@ -100,6 +100,7 @@ def make_sbm_bv_fused_macro(
     *,
     block_envs: Optional[int] = None,
     interpret: Optional[bool] = None,
+    epilogue: Optional[dict] = None,
 ):
     """Build ``macro(u, crate) -> u1``: the fused SBM-BV charging macro-step.
 
@@ -110,6 +111,8 @@ def make_sbm_bv_fused_macro(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     from .cas_spectral import (
+        _ep_qscal,
+        _ep_stats_to_envs,
         _pack_factors,
         _pack_field,
         _pack_kappa,
@@ -220,6 +223,34 @@ def make_sbm_bv_fused_macro(
 
         out_ref[:] = _unpack_field(u, ph, pw, H, W).astype(out_ref.dtype)
 
+    # Env-epilogue variant: psi-weighted centered-moment stats
+    # [sum(psi_cell*(u-c)), sum(psi_cell*(u-c)^2), n_finite] and the
+    # psi-masked uint8 obs clip(u*psi*obs_scale), all from the same
+    # kernel (the preset divides by sum(psi_cell) for the psi-mean/var
+    # charging reward).
+    if epilogue is not None:
+        ep_scale = float(epilogue.get("obs_scale", 255.0))
+        ep_center = float(epilogue.get("stats_center", 0.0))
+
+    def kernel_ep(u_ref, crate_ref, psi_ax_ref, psi_ay_ref, kop_ref,
+                  psic_ref, mrl_ref, mrf_ref, mcl_ref, mcf_ref, psiu_ref,
+                  out_ref, stats_ref, obs_ref):
+        kernel(u_ref, crate_ref, psi_ax_ref, psi_ay_ref, kop_ref,
+               psic_ref, mrl_ref, mrf_ref, mcl_ref, mcf_ref, out_ref)
+        uu = out_ref[:].astype(jnp.float32)           # (bb, H, W)
+        u = _pack_field(uu, ph, pw)
+        w = psic_ref[:]                               # psi*cell, (HP, WP)
+        fin = (u - u == 0.0).astype(jnp.float32)
+        uz = jnp.where(fin > 0.5, u - ep_center, jnp.zeros_like(u))
+        stats_ref[:] = jnp.concatenate(
+            [_ep_qscal(w[None] * uz, ph, pw, H, W),
+             _ep_qscal(w[None] * uz * uz, ph, pw, H, W),
+             _ep_qscal(fin, ph, pw, H, W)], axis=1)
+        finu = (uu - uu == 0.0)
+        uzz = jnp.where(finu, uu, jnp.zeros_like(uu))
+        ob = jnp.clip(uzz * psiu_ref[:][None] * ep_scale, 0.0, 255.0)
+        obs_ref[:] = ob.astype(jnp.int32).astype(jnp.uint8)
+
     def _run(x, crate_b):
         B = x.shape[0]
         if block_envs is not None:
@@ -258,28 +289,52 @@ def make_sbm_bv_fused_macro(
                                   memory_space=pltpu.VMEM)
         crate_spec = pl.BlockSpec((bb, 1, 1), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            kernel,
+        cost = pl.CostEstimate(
+            flops=4 * n_steps * Bp * H * W * 40,
+            bytes_accessed=2 * Bp * H * W * 4,
+            transcendentals=4 * 3 * n_steps * Bp * H * W,
+        )
+        if epilogue is None:
+            out = pl.pallas_call(
+                kernel,
+                grid=(Bp // bb,),
+                in_specs=[field_spec, crate_spec, *const_specs],
+                out_specs=field_spec,
+                out_shape=jax.ShapeDtypeStruct((Bp, H, W), x.dtype),
+                cost_estimate=cost,
+                interpret=interpret,
+            )(x, crate_b, *consts)
+            if Bp != B:
+                out = out[:B]
+            return out
+        psiu = jnp.asarray(psi_np)
+        psiu_spec = pl.BlockSpec(psiu.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        stats_spec = pl.BlockSpec((bb // pack, 3 * ph, pw),
+                                  lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        out, sb, obs = pl.pallas_call(
+            kernel_ep,
             grid=(Bp // bb,),
-            in_specs=[field_spec, crate_spec, *const_specs],
-            out_specs=field_spec,
-            out_shape=jax.ShapeDtypeStruct((Bp, H, W), x.dtype),
-            cost_estimate=pl.CostEstimate(
-                flops=4 * n_steps * Bp * H * W * 40,
-                bytes_accessed=2 * Bp * H * W * 4,
-                transcendentals=4 * 3 * n_steps * Bp * H * W,
+            in_specs=[field_spec, crate_spec, *const_specs, psiu_spec],
+            out_specs=(field_spec, stats_spec, field_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((Bp, H, W), x.dtype),
+                jax.ShapeDtypeStruct((Bp // pack, 3 * ph, pw), jnp.float32),
+                jax.ShapeDtypeStruct((Bp, H, W), jnp.uint8),
             ),
+            cost_estimate=cost,
             interpret=interpret,
-        )(x, crate_b, *consts)
+        )(x, crate_b, *consts, psiu)
+        stats = _ep_stats_to_envs(sb, ph, pw)
         if Bp != B:
-            out = out[:B]
-        return out
+            out, stats, obs = out[:B], stats[:B], obs[:B]
+        return out, stats, obs
 
     oracle = sbm_bv_reference(mu_fn, j0_fn, float(kappa), psi_np, hx, hy,
                               dt, n_steps)
 
-    @jax.custom_vjp
-    def _core(u, crate):
+    def _split(u, crate):
         *batch, h, w = u.shape
         if (h, w) != (H, W):
             raise ValueError(f"state trailing shape {(h, w)} != {(H, W)}")
@@ -290,16 +345,56 @@ def make_sbm_bv_fused_macro(
                                    if crate_arr.ndim <= 1
                                    else crate_arr.reshape(B, 1, 1),
                                    (B, 1, 1))
-        out = _run(x, crate_b)
-        return out.reshape(*batch, H, W)
+        return batch, x, crate_b
 
-    def _core_fwd(u, crate):
-        return _core(u, crate), (u, crate)
+    if epilogue is None:
 
-    def _core_bwd(res, gbar):
-        u, crate = res
+        @jax.custom_vjp
+        def _core(u, crate):
+            batch, x, crate_b = _split(u, crate)
+            out = _run(x, crate_b)
+            return out.reshape(*batch, H, W)
+
+        def _core_fwd(u, crate):
+            return _core(u, crate), (u, crate)
+
+        def _core_bwd(res, gbar):
+            u, crate = res
+            _, vjp = jax.vjp(oracle, u, crate)
+            return vjp(gbar)
+
+        _core.defvjp(_core_fwd, _core_bwd)
+        return _core
+
+    psi_w = jnp.asarray(psi_np * np.float32(hx * hy))   # psi*cell (H, W)
+
+    @jax.custom_vjp
+    def _core_ep(u, crate):
+        batch, x, crate_b = _split(u, crate)
+        out, stats, obs = _run(x, crate_b)
+        return (out.reshape(*batch, H, W), stats.reshape(*batch, 3),
+                obs.reshape(*batch, H, W))
+
+    def _core_ep_fwd(u, crate):
+        out = _core_ep(u, crate)
+        return out, (u, crate, out[0])
+
+    def _core_ep_bwd(res, cots):
+        # psi-weighted stats: s1 = sum(w*(u1-c)), s2 = sum(w*(u1-c)^2)
+        # with w = psi*cell -> d/du1 = w*(gs1 + 2*(u1-c)*gs2) on finite
+        # pixels; obs (uint8) is stop-gradient.
+        u, crate, u1 = res
+        gu, gstats, _gobs = cots
+        fin = jnp.isfinite(u1)
+        uz = jnp.where(fin, u1 - ep_center, jnp.zeros_like(u1))
+        g = gu + jnp.where(
+            fin,
+            psi_w[None] * (gstats[:, 0, None, None]
+                           + 2.0 * uz * gstats[:, 1, None, None]),
+            jnp.zeros_like(u1),
+        ).astype(gu.dtype)
         _, vjp = jax.vjp(oracle, u, crate)
-        return vjp(gbar)
+        return vjp(g)
 
-    _core.defvjp(_core_fwd, _core_bwd)
-    return _core
+    _core_ep.defvjp(_core_ep_fwd, _core_ep_bwd)
+    return _core_ep

@@ -1246,5 +1246,28 @@ class FusedSBMButlerVolmer(AbstractStepper):
         crate = _normalize_per_env_control(self.Crate, y0.shape[:-2], "Crate")
         return macro(y0, crate)
 
+    def evolve_with_epilogue(self, rhs, y0, t0, dt, n_steps, ep_cfg):
+        """Advance AND emit ``(y1, stats, obs)`` — psi-weighted stats
+        ``[sum(psi_cell*(u-c)), sum(psi_cell*(u-c)^2), n_finite]`` and the
+        psi-masked uint8 obs, from the same roll-stencil kernel."""
+        del rhs, t0
+        if isinstance(dt, jax.core.Tracer):
+            raise TypeError(
+                "FusedSBMButlerVolmer requires trace-time concrete dt")
+        from .sbm_bv import make_sbm_bv_fused_macro
+
+        hx, hy = self.domain.dx
+        macro = make_sbm_bv_fused_macro(
+            self.mu, self.j0, float(self.kappa), self.psi, float(hx),
+            float(hy), float(dt), int(n_steps), block_envs=self.block_envs,
+            interpret=self.interpret,
+            epilogue={
+                "obs_scale": float(ep_cfg.get("obs_scale", 255.0)),
+                "stats_center": float(ep_cfg.get("stats_center", 0.0)),
+            },
+        )
+        crate = _normalize_per_env_control(self.Crate, y0.shape[:-2], "Crate")
+        return macro(y0, crate)
+
     def step(self, rhs, y, t, dt):
         return self.evolve(rhs, y, t, dt, 1), None

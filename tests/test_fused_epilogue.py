@@ -306,6 +306,27 @@ def test_bv_env_step_parity():
         assert float(rel) < 1e-5
 
 
+def test_sbm_env_step_parity():
+    from pde_opt_tpu.envs.presets import make_sbm_butler_volmer_control_env
+
+    kw = dict(num_envs=8, grid_size=16, substeps=4, method="fused")
+    env_e = make_sbm_butler_volmer_control_env(**kw, fused_epilogue=True)
+    env_0 = make_sbm_butler_volmer_control_env(**kw, fused_epilogue=False)
+    key = jax.random.PRNGKey(41)
+    se, oe = env_e.reset(key)
+    s0, o0 = env_0.reset(key)
+    assert jnp.array_equal(oe, o0)
+    for i in range(3):
+        a = env_e.sample_actions(jax.random.PRNGKey(600 + i))
+        se, oe, re, te, _, ie = env_e.step(se, a)
+        s0, o0, r0, t0, _, i0 = env_0.step(s0, a)
+        assert jnp.array_equal(se.y, s0.y)
+        assert jnp.array_equal(oe, o0)
+        assert jnp.array_equal(te, t0)
+        rel = jnp.max(jnp.abs(re - r0) / (jnp.abs(r0) + 1e-12))
+        assert float(rel) < 1e-4
+
+
 def test_fused_epilogue_requires_vectorized_control():
     with pytest.raises(ValueError, match="vectorized_control"):
         make_cahn_hilliard_control_env(
