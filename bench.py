@@ -168,7 +168,7 @@ def run_ch128():
         num_envs=1024, grid_size=128, substeps=SUBSTEPS, derivs="pallas",
         vectorized_control=True, spectral_solve="fused",
     )
-    rate, _ = _rollout_rate(env, 1024, 50, key0=10)
+    rate, _ = _rollout_rate(env, 1024, 35, key0=10)
     if not rate:
         return None
     (peak_flops, _), _ = _device_peaks()
@@ -222,7 +222,7 @@ def run_ac64():
         num_envs=NUM_ENVS, grid_size=GRID, substeps=SUBSTEPS,
         spectral_solve="fused",
     )
-    rate, _ = _rollout_rate(env, NUM_ENVS, 50, key0=20)
+    rate, _ = _rollout_rate(env, NUM_ENVS, 30, key0=20)
     if not rate:
         return None
     # Identity-R fast path: 3 cas transforms (6 matmuls)/substep vs the CH
@@ -288,7 +288,7 @@ def run_gpe64():
             num_envs=1024, grid_size=GRID, substeps=SUBSTEPS,
             spectral_solve=mode,
         )
-        rate, _ = _rollout_rate(env, 1024, 50, key0=30)
+        rate, _ = _rollout_rate(env, 1024, 30, key0=30)
         if rate:
             out[f"{mode}_env_steps_per_s"] = round(rate, 1)
             if mode == "fused":
@@ -655,7 +655,7 @@ def run_ppo():
                    "policy": "mlp256-bf16"})
 
     # Physics+obs floor: random-policy rollout of the same env, same T.
-    phys_rate, _ = _rollout_rate(env, B, T, timed_runs=6, key0=72)
+    phys_rate, _ = _rollout_rate(env, B, T, timed_runs=3, key0=72)
     out = {"trained_env_steps_per_s": round(T * B / dt, 1),
            "update_ms": round(1e3 * dt, 1),
            "policy": "mlp256-bf16",
@@ -765,12 +765,12 @@ CONFIG_REGISTRY = {
     # round-5 first captures at BASELINE-stated sizes (VERDICT r4 item 2)
     "gpe_strang_128x128_256envs": (run_gpe128, 150),
     "train_grad_128x128_4096envs": (run_train_grad_128, 150),
-    "ppo_64x64_4096envs": (run_ppo, 330),
+    "ppo_64x64_4096envs": (run_ppo, 280),
     "sbm_bv_64x64_1024envs": (run_sbm_bv, 120),
     "gpe_rot_64x64_512batch": (run_gpe_rot, 220),
     "ch3d_mobility_32cubed_256batch": (run_ch3d_mobility, 180),
     "bv_fused_64": (run_bv_fused_64, 150),
-    "train_grad_64x64_1024envs": (run_train_grad, 200),
+    "train_grad_64x64_1024envs": (run_train_grad, 240),
     "ch3d_32cubed_256batch_substeps": (run_ch3d, 180),
     "gpe_strang_64x64_1024envs": (run_gpe64, 180),
     "ac_64x64_4096envs_fused": (run_ac64, 120),
