@@ -26,30 +26,47 @@ def report(tag, rate):
 
 
 def bare_macro():
+    from pde_opt_tpu.ops.cas_spectral import make_ch_cas_fused_macro
+
+    u0 = 0.5 + 0.01 * jax.random.normal(jax.random.PRNGKey(0), (B, N, N),
+                                        jnp.float32)
+    kap = jnp.full((B,), 4e-3, jnp.float32)
+
+    def timed(tag, run):
+        u, s = run(u0)
+        _ = float(jnp.sum(s))
+        t0 = time.perf_counter()
+        for _i in range(RUNS):
+            u, s = run(u)
+        _ = float(jnp.sum(s))
+        dt = time.perf_counter() - t0
+        report(tag, B * STEPS * RUNS / dt)
+
+    plain = make_ch_cas_fused_macro(
+        lambda c: c**3 - c, N, N, 0.01, 0.01, 1.0, 1e-3, S)
+
+    @jax.jit
+    def run_plain(u):
+        def body(uu, _):
+            y = plain(uu, kap)
+            return y, y[0, 0]
+        return jax.lax.scan(body, u, None, length=STEPS)
+
+    timed("bare_plain", run_plain)
+
     macro = make_ch_cas_fused_macro_ep(
         lambda c: c**3 - c, N, N, 0.01, 0.01, 1.0, 1e-3, S,
         stats_center=0.5,
     )
-    u0 = 0.5 + 0.01 * jax.random.normal(jax.random.PRNGKey(0), (B, N, N),
-                                        jnp.float32)
-    kap = jnp.full((B,), 4e-3, jnp.float32)
 
     @jax.jit
     def run(u):
         def body(uu, _):
             y, s, o = macro(uu, kap)
             return y, s[:, 0]
-        u, s = jax.lax.scan(body, u, None, length=STEPS)
-        return u, s
+        return jax.lax.scan(body, u, None, length=STEPS)
 
-    u, s = run(u0)
-    _ = float(jnp.sum(s))
-    t0 = time.perf_counter()
-    for _i in range(RUNS):
-        u, s = run(u)
-    _ = float(jnp.sum(s))
-    dt = time.perf_counter() - t0
-    report("bare_macro_ep", B * STEPS * RUNS / dt)
+    timed("bare_macro_ep", run)
 
 
 def env_rate(tag, **kw):
