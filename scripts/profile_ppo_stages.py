@@ -58,31 +58,34 @@ def main():
         return state, rs
 
     def make_rollout_policy():
+        # Same obs-carry discipline as the shipped rl/ppo.py rollout: the
+        # step's returned obs (kernel-emitted under the fused epilogue)
+        # feeds the next action — no re-observe in the scan.
         def rollout(params, state, key):
             def body(carry, _):
-                st, k = carry
+                st, obs, k = carry
                 k, ak = jax.random.split(k)
-                obs = env.state_to_observation_func(st.y)
                 dist, v = params(obs)
                 a, logp = _gaussian_sample_logp(ak, *dist)
-                st1, _, r, te, _, _ = env._step_impl(st, a)
-                return (st1, k), Transition(obs, a, logp, v, r, te)
-            (state, _), traj = jax.lax.scan(body, (state, key), None,
-                                            length=T)
-            return state, traj
+                st1, obs1, r, te, _, _ = env._step_impl(st, a)
+                return (st1, obs1, k), Transition(obs, a, logp, v, r, te)
+            obs0 = env.state_to_observation_func(state.y)
+            (state, last_obs, _), traj = jax.lax.scan(
+                body, (state, obs0, key), None, length=T)
+            return state, last_obs, traj
         return rollout
 
     rp = make_rollout_policy()
 
     @jax.jit
     def rollout_policy(params, state, key):
-        state, traj = rp(params, state, key)
+        state, _, traj = rp(params, state, key)
         return state, traj.reward
 
     @jax.jit
     def rollout_gae(params, state, key):
-        state, traj = rp(params, state, key)
-        _, last_v = params(env.state_to_observation_func(state.y))
+        state, last_obs, traj = rp(params, state, key)
+        _, last_v = params(last_obs)
         adv, ret = gae(traj.reward, traj.value, traj.done, last_v,
                        cfg.gamma, cfg.lam)
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
