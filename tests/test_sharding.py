@@ -215,6 +215,37 @@ def test_learner_psum_gradients():
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref), rtol=1e-6)
 
 
+def test_sharded_gpe_strang_env_matches_single_device():
+    """The GPE Strang fleet (BASELINE config 5: split-step spectral kernels
+    + env sharding) under shard_map WITH the fused epilogue: the kernel's
+    stats/obs outputs shard with the fleet, per-env results match local."""
+    from pde_opt_tpu.envs import make_gpe_control_env
+
+    n_dev = len(jax.devices())
+    num_envs = 2 * n_dev
+    env = make_gpe_control_env(num_envs=num_envs, grid_size=16,
+                               substeps=2, end_time=0.2, step_dt=0.02,
+                               spectral_solve="fused", fused_epilogue=True)
+    mesh = make_mesh()
+    senv = ShardedVectorPDEEnv(env, mesh)
+
+    key = jax.random.PRNGKey(5)
+    state_l, obs_l = env.reset(key)
+    state_s, obs_s = senv.reset(key)
+    np.testing.assert_array_equal(np.asarray(obs_l), np.asarray(obs_s))
+
+    acts = jnp.full((num_envs, 1), 0.3)
+    for _ in range(2):
+        state_l, obs_l, rl, tl, _, _ = env.step(state_l, acts)
+        state_s, obs_s, rs, ts_, _, _ = senv.step(state_s, acts)
+    np.testing.assert_array_equal(np.asarray(state_l.y),
+                                  np.asarray(state_s.y))
+    np.testing.assert_array_equal(np.asarray(obs_l), np.asarray(obs_s))
+    np.testing.assert_allclose(np.asarray(rl), np.asarray(rs),
+                               rtol=1e-5, atol=1e-9)
+    assert len(state_s.y.sharding.device_set) == n_dev
+
+
 def test_sharded_rot_gpe_env_matches_single_device():
     """The 6th env family (complex state, matmul ADI stepper) under
     shard_map: per-env rewards and states match the local fleet — the
