@@ -916,6 +916,18 @@ def main():
                 continue
             tc = time.perf_counter()
             _ok, data = _run_child(name, min(cap, max(10.0, remaining())))
+            if (not _ok and isinstance(data, dict) and "error" in data
+                    and remaining() > cap + 60):
+                # Relay errors (FailedPrecondition / HTTP 500) come in
+                # health windows like throughput does — one retry after a
+                # pause recovers flake-lost configs when budget allows.
+                time.sleep(20)
+                _ok2, data2 = _run_child(name, min(cap, max(10.0,
+                                                            remaining())))
+                if _ok2:
+                    _ok, data = _ok2, data2
+                else:
+                    data = {**data, "retried": True}
             if isinstance(data, dict):
                 data = {**data, "elapsed_s": round(time.perf_counter() - tc, 1)}
                 # Every captured record carries an mfu (or an explicit

@@ -122,6 +122,51 @@ def main():
     print(f"RESULT {'env_rollout':14s} {rate:12,.0f} env-steps/s "
           f"({1e6 * E / rate:6.0f} us/step)", flush=True)
 
+    # Glue isolators (same env, custom scan bodies):
+    #   env_const_act   _step_impl only — no policy RNG, no obs carry
+    #   env_no_reset    auto_reset=False env (scrub where replaces the cond)
+    acts = jnp.full((E, 1), 0.3, jnp.float32)
+
+    @jax.jit
+    def run_const_act(state):
+        def body(st, _):
+            st, _obs, reward, _t, _tr, _info = env._step_impl(st, acts)
+            return st, reward[0]
+        return jax.lax.scan(body, state, None, length=STEPS)
+
+    state2, _ = env.reset(jax.random.PRNGKey(11))
+
+    def timed_state(tag, runner, st):
+        st, s = runner(st)
+        _ = float(jnp.sum(s))
+        t0 = time.perf_counter()
+        for _i in range(RUNS):
+            st, s = runner(st)
+        _ = float(jnp.sum(s))
+        dt = time.perf_counter() - t0
+        r = E * STEPS * RUNS / dt
+        print(f"RESULT {tag:14s} {r:12,.0f} env-steps/s "
+              f"({1e6 * E / r:6.0f} us/step)", flush=True)
+
+    timed_state("env_const_act", run_const_act, state2)
+
+    env_nr = make_gpe_control_env(num_envs=E, grid_size=G, substeps=S,
+                                  spectral_solve="fused",
+                                  fused_epilogue=True, auto_reset=False,
+                                  end_time=1e9)
+    run_nr = env_nr.make_rollout(policy, STEPS)
+    state3, _ = env_nr.reset(jax.random.PRNGKey(12))
+    state3, rewards, _ = run_nr(state3, jax.random.PRNGKey(13))
+    _ = float(jnp.sum(rewards))
+    t0 = time.perf_counter()
+    for i in range(RUNS):
+        state3, rewards, _ = run_nr(state3, jax.random.PRNGKey(14 + i))
+    _ = float(jnp.sum(rewards))
+    dt = time.perf_counter() - t0
+    rate = E * STEPS * RUNS / dt
+    print(f"RESULT {'env_no_reset':14s} {rate:12,.0f} env-steps/s "
+          f"({1e6 * E / rate:6.0f} us/step)", flush=True)
+
 
 if __name__ == "__main__":
     main()
