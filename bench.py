@@ -643,21 +643,33 @@ def run_ppo():
         params, opt_state, env_state, key, metrics = train_step(
             params, opt_state, env_state, key)
     _ = float(metrics["reward_mean"])
-    n_upd = 8
-    t0 = time.perf_counter()
-    for _ in range(n_upd):
-        params, opt_state, env_state, key, metrics = train_step(
-            params, opt_state, env_state, key)
-    _ = float(metrics["reward_mean"])
-    dt = (time.perf_counter() - t0) / n_upd
+
+    def _time_updates(n_upd):
+        nonlocal params, opt_state, env_state, key, metrics
+        t0 = time.perf_counter()
+        for _ in range(n_upd):
+            params, opt_state, env_state, key, metrics = train_step(
+                params, opt_state, env_state, key)
+        _ = float(metrics["reward_mean"])
+        return (time.perf_counter() - t0) / n_upd
+
+    dt = _time_updates(8)
     _emit_partial({"trained_env_steps_per_s": round(T * B / dt, 1),
                    "update_ms": round(1e3 * dt, 1),
                    "policy": "mlp256-bf16"})
 
     # Physics+obs floor: random-policy rollout of the same env, same T.
+    # The floor is timed minutes after the updates, and relay throughput
+    # drifts within a config window — BRACKET it with a second update
+    # timing and split against the mean, reporting the bracket so a
+    # drift-polluted split is visible in the record (r05 runs logged
+    # learner_ms from 5.1 to 27.4 ms for identical code).
     phys_rate, _ = _rollout_rate(env, B, T, timed_runs=3, key0=72)
+    dt2 = _time_updates(4)
+    dt_split = 0.5 * (dt + dt2)
     out = {"trained_env_steps_per_s": round(T * B / dt, 1),
            "update_ms": round(1e3 * dt, 1),
+           "update_ms_bracket": [round(1e3 * dt, 1), round(1e3 * dt2, 1)],
            "policy": "mlp256-bf16",
            "mfu": None,
            "mfu_note": ("end-to-end training composite (physics + GAE + "
@@ -666,8 +678,8 @@ def run_ppo():
     if phys_rate:
         phys_ms = 1e3 * T * B / phys_rate
         out["physics_ms"] = round(phys_ms, 1)
-        out["learner_ms"] = round(1e3 * dt - phys_ms, 1)
-        out["physics_share"] = round(phys_ms / (1e3 * dt), 3)
+        out["learner_ms"] = round(max(1e3 * dt_split - phys_ms, 0.0), 1)
+        out["physics_share"] = round(min(phys_ms / (1e3 * dt_split), 1.0), 3)
     return out
 
 

@@ -319,6 +319,14 @@ def make_gpe_control_env(
         solver_type = FusedStrangControl
         solver_parameters = {}
     elif spectral_solve == "fft":
+        if fused_epilogue:
+            # Fail loudly like the other presets do (the FFT
+            # StrangSplitting path has no evolve_with_epilogue hook) —
+            # a silent override would make an epilogue on/off A/B over
+            # solver modes report identical numbers for fft.
+            raise ValueError(
+                "fused_epilogue=True requires spectral_solve='fused'"
+            )
         fused_epilogue = False
         # fast_evolve merges consecutive A half-steps (midpoint Strang):
         # 2 FFT pairs per substep instead of 4.

@@ -221,28 +221,37 @@ class VectorPDEEnv:
         )
         return state, self.state_to_observation_func(state.y)
 
-    def _check_control_batch(self, new_cv, B):
+    def _check_control_batch(self, new_cv, old_cv, B):
         """Trace-time contract check on ``update_control_value`` output.
 
-        On the vectorized (no-vmap) path a mis-broadcast control — e.g.
-        ``old + off`` instead of ``old + off[..., 0]`` producing ``(B, B)``
-        — would silently GROW the state batch through broadcasting on
-        steppers that do their own broadcasting (the fused steppers
-        validate their inputs; the generic XLA steppers cannot).  Reject
-        only the actual mis-broadcast failure mode: a non-scalar leaf whose
-        *leading* dim mismatches ``B``.  Arbitrary trailing dims (e.g. a
-        ``(B, 2)`` stirrer position from a 2-dim action space) are
-        legitimate multi-component per-env controls and pass through.
-        ``B`` is the leading dim of the state actually being advanced (a
-        per-device shard under ``shard_map`` — not ``self.num_envs``).
+        The control value is a scan-carry: its leaf shapes MUST be stable
+        step to step, and the reset path already batches it to
+        ``(B, ...)``.  Checking new-vs-old shape equality catches the
+        classic mis-broadcast — ``old + off`` instead of
+        ``old + off[..., 0]`` turning a ``(B,)`` control into ``(B, B)``
+        (whose leading dim still equals ``B``, so a leading-dim-only
+        check passes it) — while permitting arbitrary legitimate
+        multi-component controls (e.g. a ``(B, 2)`` stirrer position),
+        which simply keep the shape their reset gave them.  ``B`` is the
+        leading dim of the state actually being advanced (a per-device
+        shard under ``shard_map`` — not ``self.num_envs``).
         """
-        for leaf in jax.tree_util.tree_leaves(new_cv):
-            shape = jnp.shape(leaf)
-            ok = shape == () or (len(shape) >= 1 and shape[0] == B)
-            if not ok:
+        new_leaves = jax.tree_util.tree_leaves(new_cv)
+        old_leaves = jax.tree_util.tree_leaves(old_cv)
+        if len(new_leaves) != len(old_leaves):
+            raise ValueError(
+                "update_control_value changed the control pytree "
+                f"structure ({len(old_leaves)} -> {len(new_leaves)} "
+                "leaves); the control is a scan carry and must keep its "
+                "structure."
+            )
+        for new, old in zip(new_leaves, old_leaves):
+            ns, os_ = jnp.shape(new), jnp.shape(old)
+            if ns != os_:
                 raise ValueError(
-                    f"update_control_value produced shape {shape}, whose "
-                    f"leading dim does not match the env batch ({B}).  A "
+                    f"update_control_value produced shape {ns} from a "
+                    f"{os_} control (env batch {B}).  The control value "
+                    "is a scan carry and must keep its per-env shape; a "
                     "common cause is broadcasting the raw (B, k) action "
                     "offset against the (B,) control (use off[..., 0])."
                 )
@@ -258,7 +267,7 @@ class VectorPDEEnv:
         if self.action_type == "discrete":
             offset = self._action_table[actions]
         new_cv = self.update_control_value(offset, cv)
-        self._check_control_batch(new_cv, y.shape[0])
+        self._check_control_batch(new_cv, cv, y.shape[0])
         control_param = self.update_control_parameter(cv, new_cv)
         eq = self.equation_type(
             domain=self.domain,
@@ -375,8 +384,16 @@ class VectorPDEEnv:
                 y_next = where_done(reset_y, y1)
                 cv_next = jax.tree_util.tree_map(where_done, reset_cv, cv1)
                 key_next = where_done(carry_keys, state.key)
-                return (y_next, cv_next, key_next,
-                        self.state_to_observation_func(y_next))
+                # Observe ONLY the reset fields and select against the
+                # step's own obs: non-terminated envs keep the exact obs
+                # this step emitted (bitwise — under the fused epilogue
+                # the kernel's pooled obs differs from the XLA pooling by
+                # up to 1 uint8 LSB, so re-observing y_next wholesale
+                # would let one env's termination perturb every other
+                # env's observation).
+                obs_reset = self.state_to_observation_func(reset_y)
+                obs_next = jax.tree_util.tree_map(where_done, obs_reset, obs)
+                return (y_next, cv_next, key_next, obs_next)
 
             def _no_resets(_):
                 return y1, cv1, state.key, obs

@@ -185,19 +185,33 @@ class Shape:
             # an unconverged pair would silently hand downstream physics an
             # inaccurate shape basis.  Check the residuals ourselves and
             # retry harder once before giving up loudly.
-            res = np.linalg.norm(lap @ vecs - vecs * evals[None, :], axis=0)
-            tol = 1e-5 * max(1.0, float(np.abs(evals).max()))
-            if (res > tol).any():
+            def _accepted(evals_, vecs_):
+                # NaN-rejecting acceptance: lobpcg can return NaN pairs on
+                # degenerate masks, and ``NaN > tol`` is False — the guard
+                # must demand finite AND small residuals, not "not large".
+                if not (np.isfinite(evals_).all()
+                        and np.isfinite(vecs_).all()):
+                    return False, np.inf, np.nan
+                res_ = np.linalg.norm(
+                    lap @ vecs_ - vecs_ * evals_[None, :], axis=0
+                )
+                tol_ = 1e-5 * max(1.0, float(np.abs(evals_).max()))
+                return bool((res_ <= tol_).all()), float(res_.max()), tol_
+
+            ok, res_max, tol = _accepted(evals, vecs)
+            if not ok:
+                rng2 = np.random.default_rng(1)
+                block2 = rng2.standard_normal((n, k))
+                block2[:, 0] = 1.0
+                start = vecs if np.isfinite(vecs).all() else block2
                 evals, vecs = scipy.sparse.linalg.lobpcg(
-                    lap, vecs, largest=False, tol=1e-9, maxiter=2000
+                    lap, start, largest=False, tol=1e-9, maxiter=2000
                 )
-                res = np.linalg.norm(
-                    lap @ vecs - vecs * evals[None, :], axis=0
-                )
-                if (res > tol).any():
+                ok, res_max, tol = _accepted(evals, vecs)
+                if not ok:
                     raise RuntimeError(
                         "LOBPCG failed to converge the shape-mode basis: "
-                        f"max residual {res.max():.3e} > {tol:.3e} after "
+                        f"max residual {res_max:.3e} > {tol:.3e} after "
                         "retry (reduce N or coarsen the mask)"
                     )
             order = np.argsort(evals)

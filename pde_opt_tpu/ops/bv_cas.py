@@ -140,8 +140,11 @@ def make_bv_cc_fused_macro(
             preferred_element_type=jnp.float32, precision=prec,
         )
 
-    def kernel(u_ref, crate_ref, ch_ref, cw_ref, ich_ref, icw_ref,
-               lamQ_ref, out_ref):
+    def _evolve_packed(u_ref, crate_ref, ch_ref, cw_ref, ich_ref, icw_ref,
+                       lamQ_ref):
+        """Whole-macro-step body on the PACKED field; returns packed u so
+        the epilogue variant can emit stats without re-packing the state
+        it just unpacked."""
         lamQ = lamQ_ref[:]
         u = _pack_field(u_ref[:].astype(jnp.float32), ph, pw)
         CQ = _pack_kappa(crate_ref[:].astype(jnp.float32), ph, pw, H, W)
@@ -185,7 +188,12 @@ def make_bv_cc_fused_macro(
             k3 = rhs(u + (0.5 * dt_f) * k2)
             k4 = rhs(u + dt_f * k3)
             u = u + (dt_f / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        return u
 
+    def kernel(u_ref, crate_ref, ch_ref, cw_ref, ich_ref, icw_ref,
+               lamQ_ref, out_ref):
+        u = _evolve_packed(u_ref, crate_ref, ch_ref, cw_ref, ich_ref,
+                           icw_ref, lamQ_ref)
         out_ref[:] = _unpack_field(u, ph, pw, H, W).astype(out_ref.dtype)
 
     # Env-epilogue variant: the same kernel also emits the per-env
@@ -199,10 +207,10 @@ def make_bv_cc_fused_macro(
 
     def kernel_ep(u_ref, crate_ref, ch_ref, cw_ref, ich_ref, icw_ref,
                   lamQ_ref, out_ref, stats_ref, obs_ref):
-        kernel(u_ref, crate_ref, ch_ref, cw_ref, ich_ref, icw_ref,
-               lamQ_ref, out_ref)
-        uu = out_ref[:].astype(jnp.float32)           # (bb, H, W)
-        u = _pack_field(uu, ph, pw)
+        u = _evolve_packed(u_ref, crate_ref, ch_ref, cw_ref, ich_ref,
+                           icw_ref, lamQ_ref)
+        uu = _unpack_field(u, ph, pw, H, W)           # (bb, H, W) f32
+        out_ref[:] = uu.astype(out_ref.dtype)
         fin = (u - u == 0.0).astype(jnp.float32)
         uz = jnp.where(fin > 0.5, u - ep_center, jnp.zeros_like(u))
         stats_ref[:] = jnp.concatenate(

@@ -284,9 +284,12 @@ def _ep_fold_stats_cotangent(u1, gu, gstats, center):
     the finite count has zero gradient a.e.)."""
     fin = jnp.isfinite(u1)
     uz = jnp.where(fin, u1 - center, jnp.zeros_like(u1))
+    # ``[..., i]`` (not ``[:, i]``): several callers (BV / AC dmacro)
+    # accept multi-dim leading batch axes, so gstats is (*batch, 3).
     return gu + jnp.where(
         fin,
-        gstats[:, 0, None, None] + 2.0 * uz * gstats[:, 1, None, None],
+        gstats[..., 0][..., None, None]
+        + 2.0 * uz * gstats[..., 1][..., None, None],
         jnp.zeros_like(u1),
     ).astype(gu.dtype)
 

@@ -191,9 +191,12 @@ def make_gpe_strang_cas_macro(
             preferred_element_type=jnp.float32, precision=prec,
         )
 
-    def kernel(yr_ref, yi_ref, ctrl_ref, ch_ref, cw_ref, ich_ref, icw_ref,
-               cosf_ref, sinf_ref, cosh_ref, sinh_ref,
-               vq_ref, outr_ref, outi_ref):
+    def _evolve_packed(yr_ref, yi_ref, ctrl_ref, ch_ref, cw_ref, ich_ref,
+                       icw_ref, cosf_ref, sinf_ref, cosh_ref, sinh_ref,
+                       vq_ref):
+        """Whole-macro-step body on the PACKED field; returns (pr, pi) so
+        the epilogue variant can emit stats without re-packing the state
+        it just unpacked."""
         ch, cw, ich, icw = ch_ref[:], cw_ref[:], ich_ref[:], icw_ref[:]
         cosF, sinF = cosf_ref[:], sinf_ref[:]
         cosH_, sinH_ = cosh_ref[:], sinh_ref[:]
@@ -268,7 +271,14 @@ def make_gpe_strang_cas_macro(
         pr, pi = b_phase(pr, pi)
         pr, pi = prop(pr, pi, cosH_, sinH_)
         pr, pi = renorm(pr, pi)
+        return pr, pi
 
+    def kernel(yr_ref, yi_ref, ctrl_ref, ch_ref, cw_ref, ich_ref, icw_ref,
+               cosf_ref, sinf_ref, cosh_ref, sinh_ref,
+               vq_ref, outr_ref, outi_ref):
+        pr, pi = _evolve_packed(yr_ref, yi_ref, ctrl_ref, ch_ref, cw_ref,
+                                ich_ref, icw_ref, cosf_ref, sinf_ref,
+                                cosh_ref, sinh_ref, vq_ref)
         outr_ref[:] = _unpack_field(pr, ph, pw, H, W).astype(outr_ref.dtype)
         outi_ref[:] = _unpack_field(pi, ph, pw, H, W).astype(outi_ref.dtype)
 
@@ -306,12 +316,12 @@ def make_gpe_strang_cas_macro(
             ob = jnp.clip(ru * ep_obs_scale, 0.0, 255.0)
             obs_ref[:] = ob.astype(jnp.int32).astype(jnp.uint8)
 
-        kernel(yr_ref, yi_ref, ctrl_ref, ch_ref, cw_ref, ich_ref,
-               icw_ref, cosf_ref, sinf_ref, cosh_ref, sinh_ref, vq_ref,
-               outr_ref, outi_ref)
-        pr = _pack_field(outr_ref[:].astype(jnp.float32), ph, pw)
-        pi = _pack_field(outi_ref[:].astype(jnp.float32), ph, pw)
+        pr, pi = _evolve_packed(yr_ref, yi_ref, ctrl_ref, ch_ref, cw_ref,
+                                ich_ref, icw_ref, cosf_ref, sinf_ref,
+                                cosh_ref, sinh_ref, vq_ref)
         emit(pr, pi)
+        outr_ref[:] = _unpack_field(pr, ph, pw, H, W).astype(outr_ref.dtype)
+        outi_ref[:] = _unpack_field(pi, ph, pw, H, W).astype(outi_ref.dtype)
 
     def _run(yr, yi, ctrl):
         B = yr.shape[0]
@@ -455,10 +465,12 @@ def make_gpe_strang_cas_macro(
         gy, gstats, _gobs = cots
         rho = y1[..., 0] ** 2 + y1[..., 1] ** 2
         fin = jnp.isfinite(rho)
+        # ``[..., i]`` (not ``[:, i]``): the forward accepts multi-dim
+        # leading batch axes, so the stats cotangent is (*batch, 3).
         coef = jnp.where(
             fin,
-            gstats[:, 0, None, None] * w_arr[None]
-            + gstats[:, 1, None, None],
+            gstats[..., 0][..., None, None] * w_arr
+            + gstats[..., 1][..., None, None],
             jnp.zeros_like(rho),
         )
         g = gy + (2.0 * y1 * coef[..., None]).astype(gy.dtype)

@@ -148,8 +148,11 @@ def make_sbm_bv_fused_macro(
     inv_hy = np.float32(1.0 / hy)
     dt_f = float(dt)
 
-    def kernel(u_ref, crate_ref, psi_ax_ref, psi_ay_ref, kop_ref, psic_ref,
-               mrl_ref, mrf_ref, mcl_ref, mcf_ref, out_ref):
+    def _evolve_packed(u_ref, crate_ref, psi_ax_ref, psi_ay_ref, kop_ref,
+                       psic_ref, mrl_ref, mrf_ref, mcl_ref, mcf_ref):
+        """Whole-macro-step body on the PACKED field; returns packed u so
+        the epilogue variant can emit stats without re-packing the state
+        it just unpacked."""
         u = _pack_field(u_ref[:].astype(jnp.float32), ph, pw)  # (bb4, HP, WP)
         CQ = _pack_kappa(crate_ref[:].astype(jnp.float32), ph, pw, H, W)
         psi_ax = psi_ax_ref[:]                    # (HP, WP) tiled consts
@@ -220,7 +223,13 @@ def make_sbm_bv_fused_macro(
                 u = rk4(u)
         else:
             u = jax.lax.fori_loop(0, n_steps, lambda _i, z: rk4(z), u)
+        return u
 
+    def kernel(u_ref, crate_ref, psi_ax_ref, psi_ay_ref, kop_ref, psic_ref,
+               mrl_ref, mrf_ref, mcl_ref, mcf_ref, out_ref):
+        u = _evolve_packed(u_ref, crate_ref, psi_ax_ref, psi_ay_ref,
+                           kop_ref, psic_ref, mrl_ref, mrf_ref, mcl_ref,
+                           mcf_ref)
         out_ref[:] = _unpack_field(u, ph, pw, H, W).astype(out_ref.dtype)
 
     # Env-epilogue variant: psi-weighted centered-moment stats
@@ -235,10 +244,11 @@ def make_sbm_bv_fused_macro(
     def kernel_ep(u_ref, crate_ref, psi_ax_ref, psi_ay_ref, kop_ref,
                   psic_ref, mrl_ref, mrf_ref, mcl_ref, mcf_ref, psiu_ref,
                   out_ref, stats_ref, obs_ref):
-        kernel(u_ref, crate_ref, psi_ax_ref, psi_ay_ref, kop_ref,
-               psic_ref, mrl_ref, mrf_ref, mcl_ref, mcf_ref, out_ref)
-        uu = out_ref[:].astype(jnp.float32)           # (bb, H, W)
-        u = _pack_field(uu, ph, pw)
+        u = _evolve_packed(u_ref, crate_ref, psi_ax_ref, psi_ay_ref,
+                           kop_ref, psic_ref, mrl_ref, mrf_ref, mcl_ref,
+                           mcf_ref)
+        uu = _unpack_field(u, ph, pw, H, W)           # (bb, H, W) f32
+        out_ref[:] = uu.astype(out_ref.dtype)
         w = psic_ref[:]                               # psi*cell, (HP, WP)
         fin = (u - u == 0.0).astype(jnp.float32)
         uz = jnp.where(fin > 0.5, u - ep_center, jnp.zeros_like(u))
@@ -387,10 +397,12 @@ def make_sbm_bv_fused_macro(
         gu, gstats, _gobs = cots
         fin = jnp.isfinite(u1)
         uz = jnp.where(fin, u1 - ep_center, jnp.zeros_like(u1))
+        # ``[..., i]`` (not ``[:, i]``): the forward accepts multi-dim
+        # leading batch axes, so gstats is (*batch, 3).
         g = gu + jnp.where(
             fin,
-            psi_w[None] * (gstats[:, 0, None, None]
-                           + 2.0 * uz * gstats[:, 1, None, None]),
+            psi_w * (gstats[..., 0][..., None, None]
+                     + 2.0 * uz * gstats[..., 1][..., None, None]),
             jnp.zeros_like(u1),
         ).astype(gu.dtype)
         _, vjp = jax.vjp(oracle, u, crate)

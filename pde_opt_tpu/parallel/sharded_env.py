@@ -94,12 +94,17 @@ class ShardedVectorPDEEnv:
     def step(self, state, actions):
         return self._step(state, actions)
 
-    def rollout(self, state, policy_fn: Callable, n_steps: int,
-                key: Optional[jax.Array] = None):
-        """On-device rollout across the mesh (scan of sharded steps)."""
-        if key is None:
-            key = jax.random.PRNGKey(0)
+    def make_rollout(self, policy_fn: Callable, n_steps: int):
+        """Compile an ``n_steps`` on-device rollout across the mesh.
 
+        Same carry discipline as :meth:`VectorPDEEnv.make_rollout`: the
+        obs a step returns IS the next state's observation, so each state
+        is observed exactly once per step — with the fused epilogue, by
+        the Pallas macro itself.  The whole rollout (including the
+        initial observation) is one jitted program: on the TPU relay,
+        eager ops on complex env states (e.g. the rotating-GPE fleet)
+        are UNIMPLEMENTED, so nothing here may run outside the trace.
+        """
         env = self.env
 
         def body(carry, _):
@@ -109,12 +114,29 @@ class ShardedVectorPDEEnv:
             st, obs, reward, terminated, truncated, _ = self._step(st, actions)
             return (st, obs, k), (reward, terminated)
 
-        # The obs a step returns IS the next state's observation (same
-        # carry discipline as VectorPDEEnv.make_rollout): each state is
-        # observed exactly once per step — with the fused epilogue, by the
-        # Pallas macro itself.
-        obs0 = env.state_to_observation_func(state.y)
-        (state, _, _), (rewards, terms) = jax.lax.scan(
-            body, (state, obs0, key), None, length=n_steps
-        )
-        return state, rewards, terms
+        @jax.jit
+        def run(state, key):
+            obs0 = env.state_to_observation_func(state.y)
+            (state, _, _), (rewards, terms) = jax.lax.scan(
+                body, (state, obs0, key), None, length=n_steps
+            )
+            return state, rewards, terms
+
+        return run
+
+    def rollout(self, state, policy_fn: Callable, n_steps: int,
+                key: Optional[jax.Array] = None):
+        """On-device rollout across the mesh (cached compile per
+        ``(policy_fn, n_steps)``)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        cache_key = (id(policy_fn), n_steps)
+        cache = getattr(self, "_rollout_cache", None)
+        if cache is None:
+            cache = self._rollout_cache = {}
+        if cache_key not in cache:
+            # Hold a reference to policy_fn so its id stays unique.
+            cache[cache_key] = (self.make_rollout(policy_fn, n_steps),
+                                policy_fn)
+        run, _ = cache[cache_key]
+        return run(state, key)

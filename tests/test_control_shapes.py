@@ -164,13 +164,16 @@ def _bad_env(update_value, spectral_solve="fft", update_param=None):
     return env
 
 
-@pytest.mark.parametrize("bad_shape", [(1, 4), (2,), (3, 1)])
+@pytest.mark.parametrize("bad_shape", [(1, 4), (2,), (3, 1), (4, 4)])
 def test_env_rejects_misbroadcast_control_value_on_xla_path(bad_shape):
-    # Only a leading-dim mismatch is the actual mis-broadcast failure mode;
-    # arbitrary trailing dims are legitimate multi-component controls.
+    # The control is a scan carry: its shape must be stable step to step
+    # (the reset path batches it to (B, ...)).  That catches the classic
+    # (B,) + (B, 1) -> (B, B) mis-broadcast — whose leading dim still
+    # equals B — while multi-component controls simply keep the shape
+    # their reset gave them (next test).
     env = _bad_env(lambda off, old: jnp.zeros(bad_shape) + 0.004)
     state, _ = env.reset(jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="leading dim does not match"):
+    with pytest.raises(ValueError, match="must keep its per-env shape"):
         env.step(state, jnp.zeros((4, 1)))
 
 

@@ -334,3 +334,73 @@ def test_fused_epilogue_requires_vectorized_control():
             vectorized_control=False, spectral_solve="fused",
             fused_epilogue=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dim leading batch axes through the epilogue custom VJPs: the
+# forwards flatten (*batch, ...) internally, so the backward passes must
+# index the stats cotangent with [..., i] (a flat-batch [:, i] selects a
+# batch axis instead and crashes or mis-broadcasts at grad time).
+# ---------------------------------------------------------------------------
+
+
+def test_bv_epilogue_multidim_batch_grads_match_flat():
+    from pde_opt_tpu.ops.bv_cas import make_bv_cc_fused_macro
+
+    clip = lambda c: jnp.clip(c, 1e-4, 1 - 1e-4)  # noqa: E731
+    mu = lambda c: jnp.log(clip(c) / (1 - clip(c))) + 3.0 * (1 - 2 * c)  # noqa: E731
+    j0 = lambda c: jnp.sqrt(jnp.clip(c * (1 - c), 1e-6, None))  # noqa: E731
+    N = 16
+    h = 1.0 / N
+    mep = make_bv_cc_fused_macro(
+        mu, j0, 5e-4, N, N, h, h, 5e-4, 2, mats_dtype=jnp.float32,
+        interpret=True, epilogue={"stats_center": 0.1},
+    )
+    rng = np.random.default_rng(7)
+    u_flat = jnp.asarray(
+        np.clip(0.1 + 0.01 * rng.standard_normal((6, N, N)), 0.01, 0.99),
+        jnp.float32,
+    )
+    crate_flat = jnp.linspace(0.5, 2.0, 6).astype(jnp.float32)
+
+    def loss(uu):
+        y, s, _ = mep(uu, crate_flat.reshape(uu.shape[:-2]))
+        return jnp.sum(y**2) + 1.5 * jnp.sum(s[..., 0]) + 0.5 * jnp.sum(
+            s[..., 1])
+
+    g_flat = jax.grad(loss)(u_flat)
+    g_shaped = jax.grad(loss)(u_flat.reshape(2, 3, N, N))
+    np.testing.assert_array_equal(np.asarray(g_flat),
+                                  np.asarray(g_shaped.reshape(6, N, N)))
+
+
+def test_gpe_epilogue_multidim_batch_grads_match_flat():
+    from pde_opt_tpu.ops.gpe_cas import make_gpe_strang_cas_macro
+
+    H = 16
+    L = 8.0
+    dx = L / H
+    ax = (np.arange(H) - H / 2) * dx
+    X, Y = np.meshgrid(ax, ax, indexing="ij")
+    V = 0.5 * (X**2 + Y**2)
+    w = np.exp(-(X**2 + Y**2)).astype(np.float32)
+    mep = make_gpe_strang_cas_macro(
+        V, 10.0, H, H, dx, 1e-3, 2, mats_dtype=jnp.float32,
+        interpret=True, epilogue={"obs_scale": 2550.0, "weight": w},
+    )
+    psi = np.exp(-(X**2 + Y**2) / 4.0)
+    psi = psi / np.sqrt((psi**2).sum() * dx * dx)
+    y0 = jnp.asarray(
+        np.stack([psi, 0.01 * psi], axis=-1)[None]
+        * (1.0 + 0.02 * np.random.default_rng(8).standard_normal((6, 1, 1, 1))),
+        jnp.float32,
+    )
+
+    def loss(yy):
+        y1, s, _ = mep(yy, jnp.zeros(yy.shape[:-3] + (1, 1)))
+        return jnp.sum(y1**2) + 2.0 * jnp.sum(s[..., 0]) + jnp.sum(s[..., 1])
+
+    g_flat = jax.grad(loss)(y0)
+    g_shaped = jax.grad(loss)(y0.reshape(2, 3, H, H, 2))
+    np.testing.assert_array_equal(np.asarray(g_flat),
+                                  np.asarray(g_shaped.reshape(6, H, H, 2)))

@@ -273,3 +273,15 @@ def test_sharded_rot_gpe_env_matches_single_device():
     np.testing.assert_allclose(np.asarray(sl.y.real), np.asarray(ss.y.real),
                                rtol=1e-5, atol=1e-7)
     assert len(ss.y.sharding.device_set) == n_dev
+
+    # Whole rollout on the complex fleet: the sharded rollout is ONE
+    # jitted program (incl. the initial observation) — on the TPU relay
+    # any eager op on the complex state is UNIMPLEMENTED, so this path
+    # must never observe outside the trace.
+    def const_policy(obs, k):
+        return jnp.full((num_envs, 1), 0.5)
+
+    _, rew_l, _ = env.rollout(sl, const_policy, 3, key=jax.random.PRNGKey(5))
+    _, rew_s, _ = senv.rollout(ss, const_policy, 3, key=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(rew_l), np.asarray(rew_s),
+                               rtol=1e-5, atol=1e-7)
