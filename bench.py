@@ -676,7 +676,12 @@ def run_ppo():
                         "learner); kernel MFU is the flagship's, physics "
                         "share reported below")}
     if phys_rate:
+        # The split's basis is the bracket MEAN (reported explicitly as
+        # split_update_ms so physics_ms + learner_ms sums to a field in
+        # the record); the headline update_ms/rate stay the first, longer
+        # timing batch.
         phys_ms = 1e3 * T * B / phys_rate
+        out["split_update_ms"] = round(1e3 * dt_split, 1)
         out["physics_ms"] = round(phys_ms, 1)
         out["learner_ms"] = round(max(1e3 * dt_split - phys_ms, 0.0), 1)
         out["physics_share"] = round(min(phys_ms / (1e3 * dt_split), 1.0), 3)
@@ -939,7 +944,11 @@ def main():
                 if _ok2:
                     _ok, data = _ok2, data2
                 else:
-                    data = {**data, "retried": True}
+                    # Keep BOTH failure modes: the first attempt's reason
+                    # plus what the retry died of (it may differ — e.g. a
+                    # transient 500 then a timeout).
+                    data = {**data, "retried": True,
+                            "retry_outcome": data2}
             if isinstance(data, dict):
                 data = {**data, "elapsed_s": round(time.perf_counter() - tc, 1)}
                 # Every captured record carries an mfu (or an explicit

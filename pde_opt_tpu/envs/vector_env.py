@@ -236,15 +236,16 @@ class VectorPDEEnv:
         leading dim of the state actually being advanced (a per-device
         shard under ``shard_map`` — not ``self.num_envs``).
         """
-        new_leaves = jax.tree_util.tree_leaves(new_cv)
-        old_leaves = jax.tree_util.tree_leaves(old_cv)
-        if len(new_leaves) != len(old_leaves):
+        new_td = jax.tree_util.tree_structure(new_cv)
+        old_td = jax.tree_util.tree_structure(old_cv)
+        if new_td != old_td:
             raise ValueError(
                 "update_control_value changed the control pytree "
-                f"structure ({len(old_leaves)} -> {len(new_leaves)} "
-                "leaves); the control is a scan carry and must keep its "
-                "structure."
+                f"structure ({old_td} -> {new_td}); the control is a "
+                "scan carry and must keep its structure."
             )
+        new_leaves = jax.tree_util.tree_leaves(new_cv)
+        old_leaves = jax.tree_util.tree_leaves(old_cv)
         for new, old in zip(new_leaves, old_leaves):
             ns, os_ = jnp.shape(new), jnp.shape(old)
             if ns != os_:
@@ -488,7 +489,12 @@ class VectorPDEEnv:
         if cache is None:
             cache = self._rollout_cache = {}
         if cache_key not in cache:
-            # Hold a reference to policy_fn so its id stays unique.
+            # Hold a reference to policy_fn so its id stays unique; bound
+            # the cache so per-iteration lambdas (fresh id every call)
+            # cannot leak one compiled executable + closure per step —
+            # use make_rollout directly for long-lived reuse.
+            while len(cache) >= 8:
+                cache.pop(next(iter(cache)))
             cache[cache_key] = (self.make_rollout(policy_fn, n_steps), policy_fn)
         run, _ = cache[cache_key]
         return run(state, key)

@@ -209,10 +209,15 @@ class Shape:
                 )
                 ok, res_max, tol = _accepted(evals, vecs)
                 if not ok:
+                    detail = (
+                        "returned non-finite eigenpairs"
+                        if not np.isfinite(tol)
+                        else f"max residual {res_max:.3e} > {tol:.3e}"
+                    )
                     raise RuntimeError(
                         "LOBPCG failed to converge the shape-mode basis: "
-                        f"max residual {res_max:.3e} > {tol:.3e} after "
-                        "retry (reduce N or coarsen the mask)"
+                        f"{detail} after retry (reduce N or coarsen the "
+                        "mask)"
                     )
             order = np.argsort(evals)
             evals, vecs = evals[order], vecs[:, order]

@@ -114,7 +114,7 @@ class ShardedVectorPDEEnv:
             st, obs, reward, terminated, truncated, _ = self._step(st, actions)
             return (st, obs, k), (reward, terminated)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def run(state, key):
             obs0 = env.state_to_observation_func(state.y)
             (state, _, _), (rewards, terms) = jax.lax.scan(
@@ -127,7 +127,8 @@ class ShardedVectorPDEEnv:
     def rollout(self, state, policy_fn: Callable, n_steps: int,
                 key: Optional[jax.Array] = None):
         """On-device rollout across the mesh (cached compile per
-        ``(policy_fn, n_steps)``)."""
+        ``(policy_fn, n_steps)``; state buffers are donated, as on the
+        single-device path)."""
         if key is None:
             key = jax.random.PRNGKey(0)
         cache_key = (id(policy_fn), n_steps)
@@ -135,7 +136,12 @@ class ShardedVectorPDEEnv:
         if cache is None:
             cache = self._rollout_cache = {}
         if cache_key not in cache:
-            # Hold a reference to policy_fn so its id stays unique.
+            # Hold a reference to policy_fn so its id stays unique; bound
+            # the cache so per-iteration lambdas (fresh id every call)
+            # cannot leak one compiled executable + closure per step —
+            # use make_rollout directly for long-lived reuse.
+            while len(cache) >= 8:
+                cache.pop(next(iter(cache)))
             cache[cache_key] = (self.make_rollout(policy_fn, n_steps),
                                 policy_fn)
         run, _ = cache[cache_key]

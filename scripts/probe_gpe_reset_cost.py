@@ -37,13 +37,16 @@ def timed_env(tag, env):
     state, _ = env.reset(jax.random.PRNGKey(3))
     state, rewards, terms = run(state, jax.random.PRNGKey(4))
     _ = float(jnp.sum(rewards))
-    nterm = 0.0
+    # One trailing fetch only (CLAUDE.md bench discipline): accumulate
+    # the termination census as enqueued device scalars, fetch after dt.
+    tsums = []
     t0 = time.perf_counter()
     for i in range(RUNS):
         state, rewards, terms = run(state, jax.random.PRNGKey(5 + i))
-        nterm += float(jnp.sum(terms))
+        tsums.append(jnp.sum(terms))
     _ = float(jnp.sum(rewards))
     dt = time.perf_counter() - t0
+    nterm = float(sum(float(t) for t in tsums))
     rate = E * STEPS * RUNS / dt
     print(f"RESULT {tag:12s} {rate:12,.0f} env-steps/s "
           f"({1e6 * E / rate:6.0f} us/step)  "

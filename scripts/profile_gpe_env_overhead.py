@@ -109,18 +109,21 @@ def main():
         return jax.random.uniform(key, (E, 1), minval=-1.0, maxval=1.0,
                                   dtype=jnp.float32)
 
-    run = env.make_rollout(policy, STEPS)
+    def timed_rollout(tag, run, state, key_base):
+        state, rewards, _ = run(state, jax.random.PRNGKey(key_base))
+        _ = float(jnp.sum(rewards))
+        t0 = time.perf_counter()
+        for i in range(RUNS):
+            state, rewards, _ = run(state, jax.random.PRNGKey(
+                key_base + 1 + i))
+        _ = float(jnp.sum(rewards))
+        dt = time.perf_counter() - t0
+        rate = E * STEPS * RUNS / dt
+        print(f"RESULT {tag:14s} {rate:12,.0f} env-steps/s "
+              f"({1e6 * E / rate:6.0f} us/step)", flush=True)
+
     state, _ = env.reset(jax.random.PRNGKey(3))
-    state, rewards, _ = run(state, jax.random.PRNGKey(4))
-    _ = float(jnp.sum(rewards))
-    t0 = time.perf_counter()
-    for i in range(RUNS):
-        state, rewards, _ = run(state, jax.random.PRNGKey(5 + i))
-    _ = float(jnp.sum(rewards))
-    dt = time.perf_counter() - t0
-    rate = E * STEPS * RUNS / dt
-    print(f"RESULT {'env_rollout':14s} {rate:12,.0f} env-steps/s "
-          f"({1e6 * E / rate:6.0f} us/step)", flush=True)
+    timed_rollout("env_rollout", env.make_rollout(policy, STEPS), state, 4)
 
     # Glue isolators (same env, custom scan bodies):
     #   env_const_act   _step_impl only — no policy RNG, no obs carry
@@ -154,18 +157,9 @@ def main():
                                   spectral_solve="fused",
                                   fused_epilogue=True, auto_reset=False,
                                   end_time=1e9)
-    run_nr = env_nr.make_rollout(policy, STEPS)
     state3, _ = env_nr.reset(jax.random.PRNGKey(12))
-    state3, rewards, _ = run_nr(state3, jax.random.PRNGKey(13))
-    _ = float(jnp.sum(rewards))
-    t0 = time.perf_counter()
-    for i in range(RUNS):
-        state3, rewards, _ = run_nr(state3, jax.random.PRNGKey(14 + i))
-    _ = float(jnp.sum(rewards))
-    dt = time.perf_counter() - t0
-    rate = E * STEPS * RUNS / dt
-    print(f"RESULT {'env_no_reset':14s} {rate:12,.0f} env-steps/s "
-          f"({1e6 * E / rate:6.0f} us/step)", flush=True)
+    timed_rollout("env_no_reset", env_nr.make_rollout(policy, STEPS),
+                  state3, 13)
 
 
 if __name__ == "__main__":
