@@ -56,6 +56,19 @@ def make_ddpg_train_step(env, config: DDPGConfig,
     """
     if env.action_type != "continuous":
         raise ValueError("DDPG requires a continuous-action env")
+    if not env.auto_reset:
+        raise ValueError(
+            "make_ddpg_train_step requires an auto_reset=True env: without "
+            "auto-reset a terminated env stays terminal forever and keeps "
+            "pushing frozen post-terminal transitions into the replay."
+        )
+    if config.capacity < env.num_envs:
+        raise ValueError(
+            f"replay capacity ({config.capacity}) < num_envs "
+            f"({env.num_envs}): the batched ring insert would scatter a "
+            "step's transitions to duplicate slots and silently drop "
+            f"{env.num_envs - config.capacity} of them."
+        )
     if actor_optimizer is None:
         actor_optimizer = optax.adam(config.actor_lr)
     if critic_optimizer is None:
@@ -72,20 +85,23 @@ def make_ddpg_train_step(env, config: DDPGConfig,
 
     # NOTE: agent is NOT donated — at init actor/target_actor alias the same
     # buffers and donating aliased inputs is an XLA error.
-    @partial(jax.jit, donate_argnums=(1, 2))
-    def train_step(agent: DDPGState, replay: ReplayState, env_state, step,
-                   key):
+    @partial(jax.jit, donate_argnums=(1, 2, 3))
+    def train_step(agent: DDPGState, replay: ReplayState, env_state, obs,
+                   step, key):
         key, nkey, skey = jax.random.split(key, 3)
-        obs = env.state_to_observation_func(env_state.y)
         action = agent.actor(obs)
         noise = config.noise_std * jax.random.normal(
             nkey, action.shape, dtype=jnp.float32
         )
         action = jnp.clip(action + noise, a_low, a_high)
-        env_state1, _, reward, terminated, _, _ = env._step_impl(
+        # Obs-carry discipline (CLAUDE.md): the step's returned obs IS the
+        # next state's observation (from the fused epilogue kernel where
+        # available) — and the correct replay next_obs (terminated envs
+        # mask next_q in the TD target; live envs' obs equals observing
+        # y1).
+        env_state1, next_obs, reward, terminated, _, _ = env._step_impl(
             env_state, action
         )
-        next_obs = env.state_to_observation_func(env_state1.y)
         replay = _insert_batch(replay, obs, action, reward, next_obs,
                                terminated)
 
@@ -100,7 +116,18 @@ def make_ddpg_train_step(env, config: DDPGConfig,
             agent.target_critic(b_next, next_a)
         )
 
-        do_learn = (step >= config.learn_start).astype(jnp.float32)
+        learn = step >= config.learn_start
+        do_learn = learn.astype(jnp.float32)
+
+        # Keep PRE-warmup optimizer states until learning starts (zeroing
+        # only the updates would still advance Adam's moments/count on
+        # gradients from a nearly-empty replay).
+        def gate_opt(new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(learn, n, o) if hasattr(n, "dtype")
+                else n,
+                new, old,
+            )
 
         c_loss, c_grads = jax.value_and_grad(critic_loss)(
             agent.critic, target_q, b_obs, b_a
@@ -108,6 +135,7 @@ def make_ddpg_train_step(env, config: DDPGConfig,
         c_updates, critic_opt = critic_optimizer.update(
             c_grads, agent.critic_opt, agent.critic
         )
+        critic_opt = gate_opt(critic_opt, agent.critic_opt)
         c_updates = jax.tree_util.tree_map(lambda u: do_learn * u, c_updates)
         critic = optax.apply_updates(agent.critic, c_updates)
 
@@ -117,6 +145,7 @@ def make_ddpg_train_step(env, config: DDPGConfig,
         a_updates, actor_opt = actor_optimizer.update(
             a_grads, agent.actor_opt, agent.actor
         )
+        actor_opt = gate_opt(actor_opt, agent.actor_opt)
         a_updates = jax.tree_util.tree_map(lambda u: do_learn * u, a_updates)
         actor = optax.apply_updates(agent.actor, a_updates)
 
@@ -131,14 +160,18 @@ def make_ddpg_train_step(env, config: DDPGConfig,
         )
         metrics = {"critic_loss": c_loss, "actor_loss": a_loss,
                    "reward_mean": reward.mean()}
-        return agent, replay, env_state1, key, metrics
+        return agent, replay, env_state1, next_obs, key, metrics
 
     return train_step, (actor_optimizer, critic_optimizer)
 
 
 def ddpg_train(env, actor, critic, config: DDPGConfig, num_updates: int,
-               key=None, log_fn=None):
-    """Host convenience loop: returns ``(DDPGState, metrics_history)``."""
+               key=None, log_fn=None, metrics_every: int = 1):
+    """Host convenience loop: returns ``(DDPGState, metrics_history)``.
+
+    ``metrics_every``: fetch the metrics dict every N updates (and the
+    last) — see :func:`ppo_train` for the relay round-trip rationale.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     train_step, (a_opt, c_opt) = make_ddpg_train_step(env, config)
@@ -147,19 +180,21 @@ def ddpg_train(env, actor, critic, config: DDPGConfig, num_updates: int,
         actor_opt=a_opt.init(actor), critic_opt=c_opt.init(critic),
     )
     key, rkey = jax.random.split(key)
-    env_state, obs0 = env.reset(rkey)
-    replay = init_replay(config, obs0.shape[1:], obs0.dtype,
+    env_state, obs = env.reset(rkey)
+    replay = init_replay(config, obs.shape[1:], obs.dtype,
                          action_shape=tuple(env.action_shape),
                          action_dtype=jnp.float32)
     history = []
     for step in range(num_updates):
-        agent, replay, env_state, key, metrics = train_step(
-            agent, replay, env_state, jnp.asarray(step), key
+        agent, replay, env_state, obs, key, metrics = train_step(
+            agent, replay, env_state, obs, jnp.asarray(step), key
         )
         # ONE device->host transfer for the whole dict (per-key float()
         # would pay one relay round-trip per metric).
-        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
-        history.append(metrics)
-        if log_fn is not None:
-            log_fn(step, metrics)
+        if (step + 1) % metrics_every == 0 or step == num_updates - 1:
+            metrics = {k: float(v) for k, v in
+                       jax.device_get(metrics).items()}
+            history.append(metrics)
+            if log_fn is not None:
+                log_fn(step, metrics)
     return agent, history

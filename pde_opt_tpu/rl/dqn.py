@@ -89,6 +89,19 @@ def make_dqn_train_step(env, config: DQNConfig, optimizer=None):
     """
     if env.action_type != "discrete":
         raise ValueError("DQN requires a discrete-action env")
+    if not env.auto_reset:
+        raise ValueError(
+            "make_dqn_train_step requires an auto_reset=True env: without "
+            "auto-reset a terminated env stays terminal forever and keeps "
+            "pushing frozen post-terminal transitions into the replay."
+        )
+    if config.capacity < env.num_envs:
+        raise ValueError(
+            f"replay capacity ({config.capacity}) < num_envs "
+            f"({env.num_envs}): the batched ring insert would scatter a "
+            "step's transitions to duplicate slots and silently drop "
+            f"{env.num_envs - config.capacity} of them."
+        )
     num_actions = env.num_actions
     if optimizer is None:
         optimizer = optax.adam(config.lr)
@@ -108,21 +121,29 @@ def make_dqn_train_step(env, config: DQNConfig, optimizer=None):
         tgt = batch_r + config.gamma * next_q * (1.0 - batch_d.astype(jnp.float32))
         return jnp.mean(optax.huber_loss(q_a, jax.lax.stop_gradient(tgt)))
 
-    @partial(jax.jit, donate_argnums=(2, 3, 4))
-    def train_step(qnet, target, opt_state, replay, env_state, step, key):
-        key, akey, skey = jax.random.split(key, 3)
-        obs = env.state_to_observation_func(env_state.y)
+    @partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+    def train_step(qnet, target, opt_state, replay, env_state, obs, step,
+                   key):
+        # Distinct keys for the random-action draw and the explore coin:
+        # reusing one key correlates WHETHER an env explores with WHICH
+        # action it explores (same threefry bits feed both draws).
+        key, akey, ekey, skey = jax.random.split(key, 4)
         q = qnet(obs)
         greedy = jnp.argmax(q, axis=1)
         rand = jax.random.randint(akey, greedy.shape, 0, num_actions)
         explore = (
-            jax.random.uniform(akey, greedy.shape) < epsilon(step)
+            jax.random.uniform(ekey, greedy.shape) < epsilon(step)
         )
         actions = jnp.where(explore, rand, greedy)
-        env_state1, _, reward, terminated, _, _ = env._step_impl(
+        # Obs-carry discipline (CLAUDE.md): the step's returned obs IS the
+        # next state's observation — with the fused epilogue it comes from
+        # the Pallas kernel itself; re-observing here would pay an extra
+        # full-field pass.  As the replay's next_obs it is also correct:
+        # on terminated envs the TD target masks next_q anyway, and on
+        # live envs it equals observing y1.
+        env_state1, next_obs, reward, terminated, _, _ = env._step_impl(
             env_state, actions
         )
-        next_obs = env.state_to_observation_func(env_state1.y)
         replay = _insert_batch(replay, obs, actions, reward, next_obs,
                                terminated)
 
@@ -135,9 +156,17 @@ def make_dqn_train_step(env, config: DQNConfig, optimizer=None):
             replay.next_obs[idx], replay.done[idx],
         )
         do_learn = step >= config.learn_start
-        updates, opt_state = optimizer.update(grads, opt_state, qnet)
+        updates, new_opt_state = optimizer.update(grads, opt_state, qnet)
         updates = jax.tree_util.tree_map(
             lambda u: jnp.where(do_learn, u, jnp.zeros_like(u)), updates
+        )
+        # Keep the PRE-warmup optimizer state until learning starts:
+        # zeroing only the updates would still advance Adam's moments and
+        # bias-correction count on gradients from a nearly-empty replay.
+        opt_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(do_learn, n, o) if hasattr(n, "dtype")
+            else n,
+            new_opt_state, opt_state,
         )
         qnet = optax.apply_updates(qnet, updates)
         target = jax.tree_util.tree_map(
@@ -145,32 +174,42 @@ def make_dqn_train_step(env, config: DQNConfig, optimizer=None):
         )
         metrics = {"loss": loss, "reward_mean": reward.mean(),
                    "epsilon": epsilon(step), "q_mean": q.mean()}
-        return qnet, target, opt_state, replay, env_state1, key, metrics
+        return (qnet, target, opt_state, replay, env_state1, next_obs, key,
+                metrics)
 
     return train_step, optimizer
 
 
 def dqn_train(env, qnet, config: DQNConfig, num_updates: int, key=None,
-              log_fn=None):
-    """Host convenience loop: returns ``(qnet, metrics_history)``."""
+              log_fn=None, metrics_every: int = 1):
+    """Host convenience loop: returns ``(qnet, metrics_history)``.
+
+    ``metrics_every``: fetch the metrics dict every N updates (and the
+    last) — on a relayed TPU each device_get is a host round-trip, so
+    per-update fetches serialize back-to-back train steps (same pattern
+    as :func:`ppo_train`).
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     train_step, optimizer = make_dqn_train_step(env, config)
     opt_state = optimizer.init(qnet)
     target = qnet
     key, rkey = jax.random.split(key)
-    env_state, obs0 = env.reset(rkey)
-    replay = init_replay(config, obs0.shape[1:], obs0.dtype)
+    env_state, obs = env.reset(rkey)
+    replay = init_replay(config, obs.shape[1:], obs.dtype)
     history = []
     for step in range(num_updates):
-        qnet, target, opt_state, replay, env_state, key, metrics = train_step(
-            qnet, target, opt_state, replay, env_state,
+        (qnet, target, opt_state, replay, env_state, obs, key,
+         metrics) = train_step(
+            qnet, target, opt_state, replay, env_state, obs,
             jnp.asarray(step), key,
         )
         # ONE device->host transfer for the whole dict (per-key float()
         # would pay one relay round-trip per metric).
-        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
-        history.append(metrics)
-        if log_fn is not None:
-            log_fn(step, metrics)
+        if (step + 1) % metrics_every == 0 or step == num_updates - 1:
+            metrics = {k: float(v) for k, v in
+                       jax.device_get(metrics).items()}
+            history.append(metrics)
+            if log_fn is not None:
+                log_fn(step, metrics)
     return qnet, history

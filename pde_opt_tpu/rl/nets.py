@@ -196,7 +196,13 @@ class FlatMLPTorso:
         if obs.dtype == jnp.uint8:
             x = x / 255.0
         in_f = self.layers[0].w.shape[1]
-        if x.ndim >= 3 and x.shape[-3] * x.shape[-2] * x.shape[-1] == in_f:
+        # Collapse ONLY a trailing (C, H, W) group into the feature axis.
+        # Guard on the last dim not already being in_f: otherwise an
+        # already-flat obs whose batch dims happen to multiply to in_f
+        # (e.g. (2, 8, 16) with in_f=256) would silently flatten its
+        # batch axes instead of erroring downstream.
+        if (x.ndim >= 3 and x.shape[-1] != in_f
+                and x.shape[-3] * x.shape[-2] * x.shape[-1] == in_f):
             x = x.reshape(x.shape[:-3] + (in_f,))
         cd = self.compute_dtype or jnp.float32
         for layer in self.layers:

@@ -129,6 +129,12 @@ def make_ppo_train_step(env, config: PPOConfig, optimizer=None):
     entropy, and the fraction of clipped ratios.
     """
     discrete = env.action_type == "discrete"
+    if not env.auto_reset:
+        raise ValueError(
+            "make_ppo_train_step requires an auto_reset=True env: without "
+            "auto-reset a terminated env stays terminal forever and keeps "
+            "feeding frozen post-terminal transitions into every minibatch."
+        )
     if optimizer is None:
         optimizer = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
@@ -143,12 +149,21 @@ def make_ppo_train_step(env, config: PPOConfig, optimizer=None):
             a, logp = _gaussian_sample_logp(key, *dist)
         return a, logp, value
 
+    a_low = None if discrete else env.action_low
+    a_high = None if discrete else env.action_high
+
     def rollout(params, env_state, key):
         def body(carry, _):
             st, obs, k = carry
             k, ak = jax.random.split(k)
             a, logp, v = policy_step(params, obs, ak)
-            st1, obs1, reward, terminated, _, _ = env._step_impl(st, a)
+            # The env sees the DECLARED action space: clip the unbounded
+            # Gaussian sample to [action_low, action_high] (SB3 behavior;
+            # a tail sample can otherwise drive the PDE stiff and wipe
+            # the env).  The surrogate ratio keeps the UNCLIPPED sample's
+            # logp, so the policy gradient stays unbiased.
+            a_env = a if discrete else jnp.clip(a, a_low, a_high)
+            st1, obs1, reward, terminated, _, _ = env._step_impl(st, a_env)
             tr = Transition(obs, a, logp, v, reward, terminated)
             return (st1, obs1, k), tr
 
